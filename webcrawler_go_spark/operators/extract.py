@@ -1,0 +1,153 @@
+"""Span/link extraction + mode queries (SURVEY.md §2.7 X1-X3, §2.2, §3.1).
+
+The fetch kernel already returns span sequences and outlinks; extraction
+here is pure Catalyst: ``posexplode`` preserves document order (the
+reference walks DOM nodes in document order, crawler.go:957-999), filters
+are single predicates, and provenance (J4: FoundOnPage) is just a carried
+column — no joins until a mode needs link status.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.functions.classify import (
+    has_skipped_extension,
+    is_crawlable_href,
+)
+from webcrawler_go_spark.functions.urls import canonicalize_cols
+from webcrawler_go_spark.hashing import str_hash64
+
+
+def documents_from_fetch(fetched: DataFrame) -> DataFrame:
+    """The payload table (input_hint shape): successful non-blocked pages
+    → (doc_id = canonical URL, spans)."""
+    return (
+        fetched.filter(
+            (F.col("status") == 200) & (~F.col("blocked")) & (F.col("error_class").isNull())
+        )
+        .select(F.col("url").alias("doc_id"), "spans")
+    )
+
+
+def outlinks_with_provenance(fetched: DataFrame) -> DataFrame:
+    """X1: one row per outlink in document order, with the discovering
+    page's (url, seq, round) carried — J4 provenance."""
+    return fetched.select(
+        F.col("url").alias("found_on"),
+        F.col("seq").alias("parent_seq"),
+        F.col("round").alias("parent_round"),
+        F.posexplode("outlinks").alias("link_pos", "href"),
+    )
+
+
+def next_frontier_candidates(
+    fetched: DataFrame,
+    seed_host: str | None = None,
+    same_host_only: bool = True,
+    skip_extensions: bool = False,
+    path_filter: str = "",
+    ignore_query: bool = False,
+) -> DataFrame:
+    """Links → next-round frontier rows (J2 input).
+
+    Filters in reference order: crawlable href (F3/F11) → canonicalize
+    (C1) → same-host (F1, crawler.go:984-987) → extension skip (F4,
+    sitemap mode only) → path prefix (F2). Dedup (J1) happens later so
+    this stays shuffle-free until the seen anti-join.
+
+    same_host semantics: keep links whose host equals the *discovering
+    page's* host (the reference compares against the crawl base host; in
+    multi-seed crawls each seed is its own base, which per-parent
+    comparison reproduces since frontiers never cross hosts under F1).
+    """
+    links = outlinks_with_provenance(fetched).filter(
+        is_crawlable_href(F.col("href"))
+    )
+    parts = canonicalize_cols(F.col("href"), ignore_query=ignore_query)
+    links = links.select(
+        "*",
+        parts["url_norm"].alias("url_norm"),
+        parts["host"].alias("host"),
+        parts["path"].alias("path"),
+    )
+    if same_host_only:
+        if seed_host is not None:
+            links = links.filter(F.col("host") == F.lit(seed_host.lower()))
+        else:
+            parent = canonicalize_cols(F.col("found_on"))
+            links = links.filter(F.col("host") == parent["host"])
+    if skip_extensions:
+        links = links.filter(~has_skipped_extension(F.col("path")))
+    if path_filter:
+        links = links.filter(F.col("path").startswith(path_filter))
+    return links.select(
+        F.col("href").alias("url"),
+        "url_norm",
+        F.xxhash64("url_norm").alias("url_hash"),  # engine-internal hash
+        "host",
+        "path",
+        (F.col("parent_round") + 1).alias("round"),
+        "parent_seq",
+        "link_pos",
+        F.lit(0).alias("attempts"),
+        (F.col("parent_round") + 1).alias("not_before_round"),
+    )
+
+
+# --- mode queries over the fetch log (SURVEY §3.1 step 5) -------------------
+
+
+def search_hits(fetched: DataFrame, target: str) -> DataFrame:
+    """Search mode (crawler.go:806-828): pages whose text spans contain the
+    case-sensitive target (C6). Uses F.exists over the span array —
+    nested-field pruning keeps the scan narrow."""
+    return fetched.filter(
+        F.exists(
+            "spans",
+            lambda s: (s["kind"] == "text") & s["text"].contains(target),
+        )
+    ).select("url", "status", "content_type", "bytes")
+
+
+def broken_links(fetched: DataFrame, link_status: DataFrame) -> DataFrame:
+    """Broken-link mode (crawler.go:830-888): every outlink joined to its
+    fetch status; status ≥400 or network error = broken. link_status is
+    (url_norm, status, error_class) from HEAD probes (S4) — in-engine we
+    reuse the synthetic fetch surface."""
+    links = outlinks_with_provenance(fetched)
+    return (
+        links.join(
+            link_status.select(
+                F.col("url").alias("href_norm"), "status", "error_class"
+            ),
+            links["href"] == F.col("href_norm"),
+            "left",
+        )
+        .filter(
+            (F.col("status") >= 400)
+            | F.col("status").isNull()
+            | F.col("error_class").isNotNull()
+        )
+        .select(
+            "found_on",
+            F.col("href").alias("broken_url"),
+            "status",
+            "error_class",
+        )
+    )
+
+
+def oversized_images(fetched: DataFrame, threshold_kb: int) -> DataFrame:
+    """Oversized-image mode (crawler.go:890-954): media fetches larger than
+    threshold KB (main.go:498 multiplies by 1024)."""
+    return (
+        fetched.filter(F.col("content_type").startswith("image/"))
+        .filter(F.col("bytes") > F.lit(threshold_kb) * 1024)
+        .select(
+            "url",
+            "bytes",
+            (F.col("bytes") / 1024.0).alias("size_kb"),
+        )
+    )

@@ -1,0 +1,200 @@
+"""Vectorized fetch kernel (SURVEY.md §2.1 S3/S4, §2.8 kernel 2).
+
+The reference fetches with one goroutine per URL behind a semaphore
+(crawler.go:562-696). Here a whole frontier round is fetched by ONE
+``mapInPandas`` pass: each Spark task receives Arrow batches of URLs and
+produces (fetch_log ++ spans ++ outlinks) rows. Connection amortization
+(the reference's keep-alive pool, crawler.go:182-188) maps to one HTTP
+session per task, opened once per partition in the iterator UDF.
+
+Two backends:
+
+* **synthetic** (default, used by tests/bench/oracle parity): every field
+  is a pure function of the canonical URL via worldgen — deterministic,
+  no network. Numeric fields are computed vectorized; ragged span arrays
+  are assembled per row (they are ragged by nature; batches still move
+  as Arrow).
+* **http** (production path): real GET/HEAD with rotating UA, redirect cap
+  10 (crawler.go:189-199), timeout 30s (crawler.go:180), gzip handled by
+  the client (crawler.go:681-689). Gated behind config because this
+  sandbox has no network; the Spark-side plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from webcrawler_go_spark import worldgen
+from webcrawler_go_spark.functions.classify import BLOCKED_STATUSES
+from webcrawler_go_spark.hashing import str_hash64
+from webcrawler_go_spark.schemas import FETCH_RESULT
+from webcrawler_go_spark.worldgen import World
+
+_EPOCH = pd.Timestamp("2026-01-01")
+
+# rotating user agents — same *mechanism* as crawler.go:163-174 (values are
+# irrelevant to semantics; chosen per-URL-hash for determinism)
+USER_AGENTS = [
+    "Mozilla/5.0 (X11; Linux x86_64) webcrawler-spark/0.1",
+    "Mozilla/5.0 (Macintosh) webcrawler-spark/0.1",
+    "Mozilla/5.0 (Windows NT 10.0) webcrawler-spark/0.1",
+]
+
+
+def _synth_rows(batch: pd.DataFrame, world: World) -> pd.DataFrame:
+    urls = batch["url_norm"].tolist()
+    rows = {
+        "url": urls,
+        # engine-internal hash is xxhash64(url_norm), computed JVM-side by
+        # the frontier builder and passed through here untouched
+        "url_hash": batch["url_hash"].tolist(),
+        "host": batch["host"].tolist(),
+        "seq": batch["seq"].tolist(),
+        "round": batch["round"].tolist(),
+    }
+    status, ctype, nbytes, err, lastmod, blocked, spans, outlinks = (
+        [], [], [], [], [], [], [], []
+    )
+    for u in urls:
+        e = worldgen.error_class_of(world, u)
+        if e is not None:
+            status.append(0)
+            ctype.append("")
+            nbytes.append(0)
+            err.append(e)
+            lastmod.append(None)
+            blocked.append(False)
+            spans.append([])
+            outlinks.append([])
+            continue
+        s = worldgen.status_of(world, u)
+        ct = worldgen.content_type_of(world, u)
+        sp = worldgen.spans_of(world, u) if s == 200 else []
+        body_blocked = any(
+            worldgen.BOT_PHRASE in t for k, t, _m, _o in sp if k == "text"
+        )
+        is_blocked = s in BLOCKED_STATUSES or body_blocked
+        d = worldgen.lastmod_days_of(world, u)
+        status.append(s)
+        ctype.append(ct)
+        nbytes.append(worldgen.bytes_of(world, u))
+        err.append(None)
+        lastmod.append(None if d is None else (_EPOCH + pd.Timedelta(days=d)).date())
+        blocked.append(is_blocked)
+        if is_blocked:
+            # blocked pages contribute no content (crawler.go:698-701)
+            spans.append([])
+            outlinks.append([])
+        else:
+            spans.append(
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in sp
+                ]
+            )
+            outlinks.append([m for k, _t, m, _o in sp if k == "link"])
+    rows.update(
+        status=status,
+        content_type=ctype,
+        bytes=nbytes,
+        error_class=err,
+        blocked=blocked,
+        lastmod=lastmod,
+        spans=spans,
+        outlinks=outlinks,
+    )
+    return pd.DataFrame(rows)
+
+
+def fetch_frontier(
+    scheduled: DataFrame,
+    world: World | None = None,
+    backend: str = "synthetic",
+    method: str = "GET",
+    timeout_s: int = 30,
+    max_redirects: int = 10,
+) -> DataFrame:
+    """Fetch a scheduled frontier round.
+
+    ``scheduled`` must carry (url_norm, host, seq, round). Returns
+    FETCH_RESULT rows. The kernel is ``mapInPandas`` so each task streams
+    Arrow batches; at cluster scale the preceding repartition-by-(host,
+    salt) (politeness.py) already co-located per-host URLs, so politeness
+    delays / connection reuse are per-task-local concerns.
+    """
+    world = world or World()
+
+    if backend == "synthetic":
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if len(b):
+                    yield _synth_rows(b, world)
+
+    elif backend == "http":
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # one session per task = the reference's keep-alive pool
+            import requests  # deferred: not needed for synthetic runs
+
+            session = requests.Session()
+            session.max_redirects = max_redirects
+            for b in batches:
+                out = []
+                for i, r in enumerate(b.itertuples(index=False)):
+                    ua = USER_AGENTS[str_hash64(r.url_norm) % len(USER_AGENTS)]
+                    try:
+                        resp = session.request(
+                            method,
+                            r.url_norm,
+                            timeout=timeout_s,
+                            headers={"User-Agent": ua},
+                        )
+                        body = resp.text if method == "GET" else ""
+                        out.append(
+                            (
+                                r.url_norm,
+                                r.url_hash,
+                                r.host,
+                                r.seq,
+                                r.round,
+                                resp.status_code,
+                                resp.headers.get("Content-Type", ""),
+                                len(resp.content),
+                                None,
+                                resp.status_code in BLOCKED_STATUSES,
+                                None,
+                                [{"kind": "text", "text": body, "media_ref": "", "offset": 0}],
+                                [],
+                            )
+                        )
+                    except Exception as exc:  # noqa: BLE001 — taxonomy below
+                        out.append(
+                            (
+                                r.url_norm,
+                                r.url_hash,
+                                r.host,
+                                r.seq,
+                                r.round,
+                                0,
+                                "",
+                                0,
+                                str(exc),
+                                False,
+                                None,
+                                [],
+                                [],
+                            )
+                        )
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in FETCH_RESULT.fields]
+                )
+
+    else:
+        raise ValueError(f"unknown fetch backend: {backend}")
+
+    return scheduled.mapInPandas(gen, schema=FETCH_RESULT)

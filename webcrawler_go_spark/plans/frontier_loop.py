@@ -1,0 +1,317 @@
+"""The batch-iterative frontier loop (north rule; SURVEY.md §3.1).
+
+Round r (all DataFrame ops; driver only sequences rounds):
+
+    frontier ──filter not_before──► ready ─┬─► deferred (backoff)
+    ready ──first_discovery──► unique candidates          (J1 in-round)
+    unique ──anti-join url_seen──► new                    (J1 cross-round)
+    new ──robots──► allowed                               (broadcast dim)
+    allowed ──Window rank per host──► scheduled ≤ budget  (W1+W2)
+                                   └─► overflow → next round
+    scheduled ──mapInPandas fetch──► fetch_log+spans+outlinks   (S3)
+    fetch ──posexplode──► next candidates (round+1)       (X1, F1-F4)
+    fetch ──retry/blocked rules──► requeued               (W3, J3)
+    url_seen += scheduled − requeued    (visited.Delete parity,
+                                         crawler.go:316)
+    documents += ok pages; metrics += per-round aggregates (A1)
+
+State tables (frontier, url_seen, blocked→encoded in frontier rows,
+documents, fetch_log, metrics) live in SnapshotTable (Iceberg stand-in,
+state.py) — every round is an atomic commit carrying lineage, so the
+crawl resumes from ANY snapshot (skip-if-exists parity,
+pdfcapture.go:199-223, but transactional).
+
+Scale notes: the write-then-read through the state layer each round also
+truncates lineage (SURVEY §4.3 — required in iterative Spark jobs); the
+anti-join + repartition are the only shuffles per round; the politeness
+Window is salted when a host exceeds ``salt_threshold`` rows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.config import CrawlConfig
+from webcrawler_go_spark.functions.classify import error_taxonomy, status_class
+from webcrawler_go_spark.functions.urls import canonicalize_cols
+from webcrawler_go_spark.operators.dedup import dedup_against_seen, first_discovery
+from webcrawler_go_spark.operators.extract import (
+    documents_from_fetch,
+    next_frontier_candidates,
+)
+from webcrawler_go_spark.operators.fetch import fetch_frontier
+from webcrawler_go_spark.operators.politeness import apply_robots, schedule_round
+from webcrawler_go_spark.schemas import (
+    DOCUMENTS,
+    FETCH_LOG,
+    FRONTIER,
+    URL_SEEN,
+)
+from webcrawler_go_spark.state import SnapshotTable
+from webcrawler_go_spark.worldgen import World
+
+# DNS failures abort retries (crawler.go:606-609)
+_NO_RETRY_ERRORS = ("no such host",)
+
+
+@dataclass
+class RoundStats:
+    round: int
+    scheduled: int
+    fetched_ok: int
+    blocked: int
+    errors: int
+    new_documents: int
+    bytes: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        state_dir: str,
+        world: World | None = None,
+        budgets: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        fetch_backend: str = "synthetic",
+        salted: bool = False,
+    ):
+        self.spark = spark
+        self.config = config
+        self.world = world or World()
+        self.fetch_backend = fetch_backend
+        self.salted = salted
+        os.makedirs(state_dir, exist_ok=True)
+        self.frontier_t = SnapshotTable(state_dir, "frontier", FRONTIER).init(spark)
+        self.seen_t = SnapshotTable(state_dir, "url_seen", URL_SEEN).init(spark)
+        self.docs_t = SnapshotTable(state_dir, "documents", DOCUMENTS).init(spark)
+        self.log_t = SnapshotTable(state_dir, "fetch_log", FETCH_LOG).init(spark)
+        if budgets is None:
+            budgets = spark.createDataFrame(
+                [], "host string, max_fetches_per_round int, crawl_delay_ms int"
+            )
+        self.budgets = budgets
+        self.robots = robots
+        self.stats: list[RoundStats] = []
+
+    # -- seeding ---------------------------------------------------------
+
+    def seed(self, seeds: DataFrame) -> None:
+        """seeds(url, priority, seq) → round-0 frontier (S1). Seed-list
+        position is the crawl-order tiebreak at round 0 (FIXTURES §2):
+        parent_seq=0, link_pos=seed seq."""
+        parts = canonicalize_cols(F.col("url"), self.config.ignore_query_params)
+        fr = seeds.select(
+            F.col("url"),
+            parts["url_norm"].alias("url_norm"),
+            F.xxhash64(parts["url_norm"]).alias("url_hash"),
+            parts["host"].alias("host"),
+            parts["path"].alias("path"),
+            F.lit(0).alias("round"),
+            F.lit(0).cast("long").alias("parent_seq"),
+            F.col("seq").cast("int").alias("link_pos"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("not_before_round"),
+        )
+        self.frontier_t.commit(fr, mode="replace", lineage={"round": 0, "op": "seed"})
+
+    # -- one round --------------------------------------------------------
+
+    def run_round(self, r: int) -> RoundStats:
+        cfg = self.config
+        frontier = self.frontier_t.read()
+        seen = self.seen_t.read()
+
+        ready = frontier.filter(F.col("not_before_round") <= r)
+        deferred = frontier.filter(F.col("not_before_round") > r)
+
+        unique = first_discovery(ready)
+        # retried rows (attempts>0) were deliberately removed from seen —
+        # the anti-join naturally lets them through
+        new = dedup_against_seen(unique, seen, use_bloom=False)
+        if self.robots is not None:
+            new = apply_robots(new, self.robots)
+
+        scheduled, overflow = schedule_round(
+            new.unionByName(deferred.limit(0)),  # schema guard
+            self.budgets,
+            current_round=r,
+            default_budget=cfg.default_host_budget,
+            salted=self.salted,
+        )
+        # the fetch happens AT round r regardless of discovery round
+        scheduled = scheduled.withColumn("round", F.lit(r))
+
+        fetched = fetch_frontier(
+            scheduled, self.world, backend=self.fetch_backend
+        )
+        # one round = one materialization: cache the kernel output so the
+        # documents/links/retries/metrics branches don't re-fetch
+        fetched = fetched.localCheckpoint(eager=True)
+
+        # --- retry / blocked requeue (W3 + J3) ---------------------------
+        sched_cols = scheduled.select(
+            F.col("url_hash").alias("s_hash"),
+            F.col("url").alias("s_url"),
+            "url_norm",
+            F.col("host").alias("s_host"),
+            F.col("path").alias("s_path"),
+            F.col("round").alias("disc_round"),
+            "parent_seq",
+            "link_pos",
+            "attempts",
+        )
+        f = fetched.join(
+            sched_cols, fetched["url_hash"] == sched_cols["s_hash"], "inner"
+        )
+        retry_error = (
+            F.col("error_class").isNotNull()
+            & ~F.col("error_class").isin(*_NO_RETRY_ERRORS)
+            & (F.col("attempts") + 1 <= F.lit(cfg.max_retries))
+        )
+        retry_blocked = (
+            F.col("blocked")
+            & F.lit(cfg.retry_blocked_pages)
+            & (F.col("attempts") + 1 <= F.lit(cfg.blocked_retry_passes))
+        )
+        requeue = f.filter(retry_error | retry_blocked).select(
+            F.col("s_url").alias("url"),
+            "url_norm",
+            F.col("s_hash").alias("url_hash"),
+            F.col("s_host").alias("host"),
+            F.col("s_path").alias("path"),
+            F.col("disc_round").alias("round"),
+            "parent_seq",
+            "link_pos",
+            (F.col("attempts") + 1).alias("attempts"),
+            # linear backoff in rounds (crawler.go:586-588 RetryDelay*attempt)
+            (F.lit(r) + F.col("attempts") + 1).alias("not_before_round"),
+        )
+
+        # --- seen delta: scheduled minus requeued (visited.Delete parity) --
+        seen_delta = (
+            scheduled.join(requeue.select("url_hash"), "url_hash", "left_anti")
+            .select(
+                "url_hash",
+                "url_norm",
+                F.lit(r).alias("seen_round"),
+            )
+        )
+        self.seen_t.commit(seen_delta, lineage={"round": r, "op": "seen+="})
+
+        # --- payload + next frontier --------------------------------------
+        docs = documents_from_fetch(fetched)
+        self.docs_t.commit(docs, lineage={"round": r})
+        self.log_t.commit(
+            fetched.select(*[f.name for f in FETCH_LOG.fields]),
+            lineage={"round": r},
+        )
+
+        candidates = next_frontier_candidates(
+            fetched,
+            same_host_only=cfg.same_host_only,
+            path_filter=cfg.path_filter,
+            ignore_query=cfg.ignore_query_params,
+        )
+        next_frontier = candidates.unionByName(
+            deferred.select(*candidates.columns)
+        ).unionByName(requeue.select(*candidates.columns)).unionByName(
+            overflow.select(*candidates.columns)
+        )
+        self.frontier_t.commit(
+            next_frontier, mode="replace", lineage={"round": r + 1}
+        )
+
+        # --- per-round metrics (A1/A2/A3 in one aggregate) -----------------
+        agg = fetched.agg(
+            F.count("*").alias("scheduled"),
+            F.sum(
+                F.when(
+                    (F.col("status") == 200)
+                    & ~F.col("blocked")
+                    & F.col("error_class").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("ok"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
+            F.sum(F.when(F.col("error_class").isNotNull(), 1).otherwise(0)).alias(
+                "errors"
+            ),
+            F.sum("bytes").alias("bytes"),
+        ).collect()[0]
+        st = RoundStats(
+            round=r,
+            scheduled=agg["scheduled"],
+            fetched_ok=agg["ok"] or 0,
+            blocked=agg["blocked"] or 0,
+            errors=agg["errors"] or 0,
+            new_documents=agg["ok"] or 0,
+            bytes=agg["bytes"] or 0,
+        )
+        self.stats.append(st)
+        fetched.unpersist()
+        return st
+
+    # -- full crawl --------------------------------------------------------
+
+    def run(self, seeds: DataFrame, max_rounds: int | None = None) -> list[RoundStats]:
+        self.seed(seeds)
+        return self.resume(start_round=0, max_rounds=max_rounds)
+
+    def resume(
+        self, start_round: int | None = None, max_rounds: int | None = None
+    ) -> list[RoundStats]:
+        """Continue from the current snapshots — crash/cancel resumability
+        (the engine's skip-if-exists, but transactional)."""
+        max_rounds = max_rounds or self.config.max_rounds
+        if start_round is None:
+            head = self.frontier_t.current_snapshot()
+            start_round = head["lineage"].get("round", 0) if head else 0
+        out = []
+        for r in range(start_round, max_rounds):
+            if self.frontier_t.read().limit(1).count() == 0:
+                break
+            out.append(self.run_round(r))
+        return out
+
+    # -- results ------------------------------------------------------------
+
+    def fetch_log(self) -> DataFrame:
+        return self.log_t.read()
+
+    def documents(self) -> DataFrame:
+        return self.docs_t.read()
+
+    def url_seen(self) -> DataFrame:
+        return self.seen_t.read()
+
+    def per_host_sequences(self) -> DataFrame:
+        """Per-host ordered fetch sequences — the crawl-order parity
+        artifact: ORDER BY seq within host ((round<<32)|host_rank)."""
+        return (
+            self.log_t.read()
+            .groupBy("host")
+            .agg(F.sort_array(F.collect_list(F.struct("seq", "url"))).alias("s"))
+            .select("host", F.col("s.url").alias("fetch_sequence"))
+        )
+
+    def status_histogram(self) -> DataFrame:
+        return (
+            self.log_t.read()
+            .filter(F.col("status") > 0)
+            .groupBy(status_class(F.col("status")).alias("status_class"))
+            .count()
+        )
+
+    def error_histogram(self) -> DataFrame:
+        return (
+            self.log_t.read()
+            .filter(F.col("error_class").isNotNull())
+            .groupBy(error_taxonomy(F.col("error_class")).alias("error_kind"))
+            .count()
+        )
