@@ -140,12 +140,17 @@ def _words(h: int, n: int) -> str:
 
 
 def _host_page_of(url: str) -> tuple[int, int]:
-    # https://host-%04d.test/page/%d
-    hostpart = url.split("://", 1)[1]
-    host, _, rest = hostpart.partition("/")
-    hi = int(host.split("-")[1].split(".")[0])
-    pi = int(rest.rsplit("/", 1)[1]) if rest.startswith("page/") else 0
-    return hi, pi
+    """Parse (host_id, page_id) from the world's URL grammar
+    ``https://host-%04d.test/page/%d``; arbitrary URLs (the engine also
+    fetches corpus-derived URLs in oracle queries) fall back to
+    hash-derived ids so every URL has a stable identity."""
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://host-(\d+)\.test(?:/page/(\d+))?/?$", url)
+    if m:
+        return int(m.group(1)), int(m.group(2) or 0)
+    h = str_hash64(url)
+    return h % 10_000, (h >> 16) % 10_000
 
 
 def outlinks_of(world: World, url: str) -> list[str]:
