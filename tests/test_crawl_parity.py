@@ -1,0 +1,113 @@
+"""North-rule parity suite (SURVEY §5.2.3-5.2.5): the Spark engine must
+reproduce the sequential reference semantics exactly —
+
+(a) URL-seen-set equality,
+(b) per-host fetch-sequence equality (order-sensitive),
+(c) span-sequence equality per document on (kind, text, media_ref, order),
+(d) resumability: a killed-and-resumed crawl equals an uninterrupted one,
+(e) politeness budget never exceeded per (host, round),
+(f) salted two-phase ranking ≡ single-phase ranking.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.config import CrawlConfig
+from webcrawler_go_spark.oracle import sequential
+from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+WORLD = World(n_hosts=8, pages_per_host=40)
+CFG = CrawlConfig(max_rounds=4, default_host_budget=10)
+N_SEEDS = 4
+ROUNDS = 4
+
+
+def _seeds_df(spark):
+    return spark.createDataFrame(
+        gen_seeds(WORLD, N_SEEDS), "url string, priority double, seq int"
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("state"))
+    eng = CrawlEngine(spark, CFG, state, world=WORLD)
+    eng.run(_seeds_df(spark), max_rounds=ROUNDS)
+    oracle = sequential.crawl(WORLD, gen_seeds(WORLD, N_SEEDS), CFG, max_rounds=ROUNDS)
+    return eng, oracle
+
+
+def test_url_seen_set_parity(crawl):
+    eng, oracle = crawl
+    eng_seen = {r.url_norm for r in eng.url_seen().collect()}
+    assert eng_seen == oracle.seen
+
+
+def test_per_host_fetch_sequence_parity(crawl):
+    eng, oracle = crawl
+    eng_seq = {r["host"]: r["fetch_sequence"] for r in eng.per_host_sequences().collect()}
+    assert set(eng_seq) == set(oracle.sequences)
+    for host, seq in oracle.sequences.items():
+        assert eng_seq[host] == seq, f"order mismatch on {host}"
+
+
+def test_span_sequence_parity(crawl):
+    eng, oracle = crawl
+    docs = {
+        r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+        for r in eng.documents().collect()
+    }
+    odocs = {k: [tuple(x) for x in v] for k, v in oracle.documents.items()}
+    assert docs == odocs
+
+
+def test_politeness_budget_never_exceeded(crawl):
+    eng, _ = crawl
+    per = (
+        eng.fetch_log()
+        .groupBy("host", "round")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > CFG.default_host_budget)
+        .count()
+    )
+    assert per == 0
+
+
+def test_resumability(spark, state_dir):
+    """Run rounds 0-1, abandon the engine, resume with a NEW engine from
+    the snapshots, finish, and compare with the uninterrupted crawl."""
+    eng1 = CrawlEngine(spark, CFG, state_dir, world=WORLD)
+    eng1.seed(_seeds_df(spark))
+    eng1.resume(start_round=0, max_rounds=2)
+
+    eng2 = CrawlEngine(spark, CFG, state_dir, world=WORLD)  # fresh instance
+    eng2.resume(max_rounds=ROUNDS)  # picks round up from snapshot lineage
+
+    oracle = sequential.crawl(WORLD, gen_seeds(WORLD, N_SEEDS), CFG, max_rounds=ROUNDS)
+    seen = {r.url_norm for r in eng2.url_seen().collect()}
+    assert seen == oracle.seen
+    seqs = {r["host"]: r["fetch_sequence"] for r in eng2.per_host_sequences().collect()}
+    assert seqs == oracle.sequences
+
+
+def test_salted_rank_equals_unsalted(spark):
+    """Two-phase salted politeness ranking must reproduce the single-phase
+    Window exactly (SURVEY §4.1 hard part #3)."""
+    from webcrawler_go_spark.operators.politeness import (
+        rank_per_host,
+        rank_per_host_salted,
+    )
+
+    rows = [
+        (f"https://h{i % 3}.test/p{i}", f"h{i % 3}.test", i % 5, (i * 7) % 23, i % 11, i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "url_norm string, host string, round int, parent_seq long, link_pos int, url_hash long"
+    )
+    a = {(r.url_norm, r.host_rank) for r in rank_per_host(df).collect()}
+    b = {(r.url_norm, r.host_rank) for r in rank_per_host_salted(df, n_salts=4).collect()}
+    assert a == b

@@ -1,0 +1,59 @@
+"""Dedup operator tests (J1/J2): first-discovery-wins, anti-join
+exactness, Bloom prefilter transparency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.operators.dedup import (
+    bloom_prefilter,
+    dedup_against_seen,
+    first_discovery,
+)
+
+
+def _frontier(spark):
+    rows = [
+        # url_hash, url, round, parent_seq, link_pos
+        (1, "a", 1, 10, 3),
+        (1, "a", 0, 99, 9),   # earlier round wins
+        (1, "a", 0, 99, 2),   # same round+parent, earlier link_pos wins
+        (2, "b", 2, 1, 1),
+        (3, "c", 0, 0, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "url_hash long, url string, round int, parent_seq long, link_pos int"
+    )
+
+
+def test_first_discovery_wins(spark):
+    got = {
+        r.url_hash: (r.round, r.parent_seq, r.link_pos)
+        for r in first_discovery(_frontier(spark)).collect()
+    }
+    assert got == {1: (0, 99, 2), 2: (2, 1, 1), 3: (0, 0, 0)}
+
+
+def test_anti_join_dedup(spark):
+    cand = _frontier(spark)
+    seen = spark.createDataFrame([(1,), (99,)], "url_hash long")
+    got = {r.url_hash for r in dedup_against_seen(first_discovery(cand), seen).collect()}
+    assert got == {2, 3}
+
+
+def test_bloom_prefilter_never_drops_new(spark):
+    """FPP affects performance only: Bloom may pass stale URLs through
+    (caught by the anti-join) but must NEVER drop unseen ones."""
+    cand = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
+    seen = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
+    pruned = bloom_prefilter(cand, seen, fpp=0.05)
+    survivors = {r.url_hash for r in pruned.collect()}
+    assert set(range(1000, 2000)) <= survivors  # no false negatives
+    exact = {r.url_hash for r in dedup_against_seen(cand, seen, use_bloom=True, fpp=0.05).collect()}
+    assert exact == set(range(1000, 2000))
+
+
+def test_empty_seen_passthrough(spark):
+    cand = spark.range(5).select(F.col("id").alias("url_hash"))
+    seen = spark.createDataFrame([], "url_hash long")
+    assert dedup_against_seen(cand, seen, use_bloom=True).count() == 5

@@ -39,68 +39,46 @@ def rank_per_host(frontier: DataFrame) -> DataFrame:
 
 
 def rank_per_host_salted(frontier: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Two-phase salted per-host rank for hot hosts (SURVEY §4.1).
+    """Two-phase per-host rank for hot hosts (SURVEY §4.1 hard part).
 
-    Phase 1: range-bucket each row into a salt by its order key position
-    — we use ``ntile`` over the host partition? No: that is the same hot
-    partition. Instead salt = pmod(url_hash, n_salts) and rank within
-    (host, salt); phase 2 computes, per (host, salt), how many rows of
-    OTHER salts precede each row — that requires order statistics, so we
-    instead make the salted rank order-preserving by bucketing on the
-    order key itself: salt = ntile-like bucket derived from a cheap
-    percentile of parent_seq. Practical compromise implemented here:
+    ``Window.partitionBy(host)`` puts a mega-host in ONE task; at 10^10
+    URLs that task never finishes. Exact distributed ranking instead:
 
-      salt   = pmod(parent_seq, n_salts)      (spreads by discoverer)
-      local  = row_number over (host, salt) ordered by the crawl key
-      offset = for each (host, salt), count of rows in lower salts? —
-               NOT order-correct.
+    1. ``repartitionByRange(n_salts, host, *key)`` — range-partition on
+       the FULL order key, so each host's rows land in contiguous
+       partitions in key order, and a hot host is spread across many
+       partitions (Spark samples boundaries; skew is split);
+    2. local ``row_number`` within (host, partition) — partitions are
+       key-ranges, so local order = global order within the slice;
+    3. exact per-(host, partition) counts → cumulative offset by
+       partition id (tiny aggregate, broadcast back);
+    4. global rank = offset + local rank.
 
-    Order-exact two-phase ranking is only possible when the bucketing is
-    order-aligned. So: bucket by the leading key component ``round`` is
-    constant per call; we therefore sort-bucket by (parent_seq range).
-    We compute per-host percentiles of parent_seq (approx, driver-light),
-    derive range boundaries, rank within each range, then add the exact
-    counts of earlier ranges. Exactness: ranges partition the order key
-    space, ranking is done on the full key inside each range, and
-    earlier-range counts are exact ⇒ global rank identical to the
-    single-phase Window.
+    Exactness: range partitions tile the key space in partition-id order,
+    ranking inside each tile uses the full key, and offsets are exact
+    counts of earlier tiles ⇒ identical to the single-phase Window
+    (asserted in tests/test_crawl_parity.py::test_salted_rank_equals_unsalted).
     """
-    bounds = (
-        frontier.groupBy("host")
-        .agg(
-            F.percentile_approx(
-                "parent_seq",
-                [i / n_salts for i in range(1, n_salts)],
-                10_000,
-            ).alias("cuts")
-        )
-    )
-    fr = frontier.join(F.broadcast(bounds), "host", "left")
-    # salt = number of cut points strictly below parent_seq (0..n_salts-1)
-    fr = fr.withColumn(
-        "salt",
-        F.when(
-            F.col("cuts").isNotNull(),
-            F.size(F.filter("cuts", lambda c: c < F.col("parent_seq"))),
-        ).otherwise(F.lit(0)),
-    ).drop("cuts")
-    w_local = Window.partitionBy("host", "salt").orderBy(
-        *[F.col(c) for c in ORDER_COLS]
-    )
+    key_cols = [F.col(c) for c in ORDER_COLS]
+    fr = frontier.repartitionByRange(n_salts, F.col("host"), *key_cols)
+    fr = fr.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("host", "_pid").orderBy(*key_cols)
     fr = fr.withColumn("_local_rank", F.row_number().over(w_local))
-    counts = fr.groupBy("host", "salt").agg(F.count("*").alias("_n"))
+    counts = fr.groupBy("host", "_pid").agg(F.count("*").alias("_n"))
     w_off = (
         Window.partitionBy("host")
-        .orderBy("salt")
+        .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    ).select("host", "salt", "_offset")
+    ).select("host", "_pid", "_offset")
     return (
-        fr.join(F.broadcast(offsets), ["host", "salt"], "left")
-        .withColumn("host_rank", (F.col("_offset") + F.col("_local_rank")).cast("int"))
-        .drop("_local_rank", "_offset", "salt")
+        fr.join(F.broadcast(offsets), ["host", "_pid"], "left")
+        .withColumn(
+            "host_rank", (F.col("_offset") + F.col("_local_rank")).cast("int")
+        )
+        .drop("_local_rank", "_offset", "_pid")
     )
 
 
