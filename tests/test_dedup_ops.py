@@ -46,9 +46,11 @@ def test_bloom_prefilter_never_drops_new(spark):
     (caught by the anti-join) but must NEVER drop unseen ones."""
     cand = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
     seen = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
-    pruned = bloom_prefilter(cand, seen, fpp=0.05)
-    survivors = {r.url_hash for r in pruned.collect()}
-    assert set(range(1000, 2000)) <= survivors  # no false negatives
+    definitely_new, maybe_seen = bloom_prefilter(cand, seen, fpp=0.05)
+    new_set = {r.url_hash for r in definitely_new.collect()}
+    assert new_set <= set(range(1000, 2000))  # no false negatives
+    # split is a partition of the candidates
+    assert definitely_new.count() + maybe_seen.count() == 2000
     exact = {r.url_hash for r in dedup_against_seen(cand, seen, use_bloom=True, fpp=0.05).collect()}
     assert exact == set(range(1000, 2000))
 

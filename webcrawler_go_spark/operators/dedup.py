@@ -24,8 +24,13 @@ Three layers, cheapest first:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from webcrawler_go_spark.hashing import splitmix64, splitmix64_np
 
 CRAWL_ORDER_KEY = ["round", "parent_seq", "link_pos"]
 
@@ -45,37 +50,107 @@ def first_discovery(frontier: DataFrame) -> DataFrame:
     return agg.select("url_hash", *[F.col(f"_row.{c}").alias(c) for c in others])
 
 
+class NumpyBloom:
+    """Broadcastable Bloom filter over int64 hashes, vectorized in numpy.
+
+    k derived hash functions are splitmix64 remixes of the key with
+    distinct salts. Built distributed: one bitmap per partition, OR-ed by
+    treeReduce — the driver never sees raw hashes, only bitmaps. At
+    10^10 keys the single bitmap is too large to broadcast (≈12 GB @1%);
+    the scale path shards by pmod(url_hash, n_shards) into n_shards
+    independent, individually-broadcastable filters (see dedup module
+    docstring) — same class, one instance per shard.
+    """
+
+    def __init__(self, n_items: int, fpp: float = 0.01):
+        import math
+
+        n_bits = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        self.log2_bits = max(6, (n_bits - 1).bit_length())
+        self.n_bits = 1 << self.log2_bits
+        self.k = max(1, round(self.n_bits / max(n_items, 1) * math.log(2)))
+        self.bits = np.zeros(self.n_bits >> 6, dtype=np.uint64)
+
+    def _positions(self, h: "np.ndarray", i: int) -> "np.ndarray":
+        salted = h.astype(np.uint64) ^ np.uint64(
+            splitmix64(0xA076_1D64_78BD_642F + i)
+        )
+        return splitmix64_np(salted) & np.uint64(self.n_bits - 1)
+
+    def add_many(self, hashes) -> "NumpyBloom":
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            np.bitwise_or.at(
+                self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return self
+
+    def contains_many(self, hashes) -> "np.ndarray":
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            pos = self._positions(h, i)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+    def union(self, other: "NumpyBloom") -> "NumpyBloom":
+        self.bits |= other.bits
+        return self
+
+
+def build_bloom(seen: DataFrame, n_items: int, fpp: float = 0.01) -> NumpyBloom:
+    """Distributed build: per-partition bitmaps, tree-reduced OR."""
+    log2_bits = NumpyBloom(n_items, fpp).log2_bits
+
+    def part_bloom(rows):
+        bf = NumpyBloom(1, fpp)
+        bf.log2_bits = log2_bits
+        bf.n_bits = 1 << log2_bits
+        bf.k = NumpyBloom(n_items, fpp).k
+        bf.bits = np.zeros(bf.n_bits >> 6, dtype=np.uint64)
+        hashes = [r[0] for r in rows]
+        if hashes:
+            bf.add_many(hashes)
+        yield bf
+
+    return (
+        seen.select("url_hash")
+        .rdd.mapPartitions(part_bloom)
+        .treeReduce(lambda a, b: a.union(b))
+    )
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     seen: DataFrame,
     expected: int | None = None,
     fpp: float = 0.01,
-) -> DataFrame:
-    """Advisory broadcast-Bloom prune before the anti-join shuffle.
+) -> tuple[DataFrame, DataFrame]:
+    """Advisory broadcast-Bloom split before the anti-join shuffle.
 
-    Skipped (returns candidates unchanged) when the seen set is empty.
-    Uses Spark's built-in ``DataFrame.stat.bloomFilter`` (JVM-side build,
-    no data to the Python driver beyond the filter bits).
+    Returns ``(definitely_new, maybe_seen)``: rows the filter has never
+    seen bypass the shuffle entirely (no false negatives possible); only
+    the maybe-seen slice — |candidates ∩ seen| plus an FPP-sized sliver —
+    pays the exact anti-join. FPP is a performance knob only.
     """
     n = expected if expected is not None else seen.count()
     if n == 0:
-        return candidates
-    bf = seen.stat.bloomFilter("url_hash", max(n, 64), fpp)
-    spark = candidates.sparkSession
-    bf_b = spark.sparkContext.broadcast(bf)
-
-    # mightContain via a vectorized-ish filter: Spark exposes BloomFilter
-    # only as a JVM object; calling it per-row from Python would be the
-    # slow path, so route through a pandas UDF over the long hashes.
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+        return candidates, candidates.limit(0)
+    bf = build_bloom(seen, max(n, 64), fpp)
+    bf_b = candidates.sparkSession.sparkContext.broadcast(bf)
 
     @pandas_udf("boolean")
     def might_contain(h: pd.Series) -> pd.Series:
-        f = bf_b.value
-        return h.map(f.mightContain)
+        return pd.Series(bf_b.value.contains_many(h.to_numpy()))
 
-    return candidates.filter(might_contain(F.col("url_hash")))
+    flagged = candidates.withColumn("_maybe_seen", might_contain(F.col("url_hash")))
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
 
 
 def dedup_against_seen(
@@ -87,13 +162,12 @@ def dedup_against_seen(
 ) -> DataFrame:
     """J1: drop candidates whose url_hash is already in the seen set.
 
-    Exactness comes from the left_anti join; the Bloom stage is purely a
-    shuffle-volume reducer at scale (off by default in local tests where
-    the broadcast outweighs the prune).
+    Exactness comes from the left_anti join; the Bloom stage routes
+    definitely-new rows around the shuffle (off by default in local
+    tests where the broadcast outweighs the prune).
     """
-    pruned = (
-        bloom_prefilter(candidates, seen, seen_count, fpp)
-        if use_bloom
-        else candidates
-    )
-    return pruned.join(seen.select("url_hash"), "url_hash", "left_anti")
+    if not use_bloom:
+        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+    definitely_new, maybe_seen = bloom_prefilter(candidates, seen, seen_count, fpp)
+    checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definitely_new.unionByName(checked)
