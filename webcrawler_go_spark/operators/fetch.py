@@ -106,6 +106,20 @@ def _synth_rows(batch: pd.DataFrame, world: World) -> pd.DataFrame:
         lastmod=lastmod,
         spans=spans,
         outlinks=outlinks,
+        # frontier metadata carried through (saves a post-fetch join)
+        path=batch["path"].tolist() if "path" in batch else [""] * len(urls),
+        disc_round=batch["disc_round"].tolist()
+        if "disc_round" in batch
+        else batch["round"].tolist(),
+        parent_seq=batch["parent_seq"].tolist()
+        if "parent_seq" in batch
+        else [0] * len(urls),
+        link_pos=batch["link_pos"].tolist()
+        if "link_pos" in batch
+        else [0] * len(urls),
+        attempts=batch["attempts"].tolist()
+        if "attempts" in batch
+        else [0] * len(urls),
     )
     return pd.DataFrame(rows)
 
@@ -145,6 +159,16 @@ def fetch_frontier(
             session.max_redirects = max_redirects
             for b in batches:
                 out = []
+
+                def _carry(r):
+                    return (
+                        getattr(r, "path", ""),
+                        getattr(r, "disc_round", r.round),
+                        getattr(r, "parent_seq", 0),
+                        getattr(r, "link_pos", 0),
+                        getattr(r, "attempts", 0),
+                    )
+
                 for i, r in enumerate(b.itertuples(index=False)):
                     ua = USER_AGENTS[str_hash64(r.url_norm) % len(USER_AGENTS)]
                     try:
@@ -170,6 +194,7 @@ def fetch_frontier(
                                 None,
                                 [{"kind": "text", "text": body, "media_ref": "", "offset": 0}],
                                 [],
+                                *_carry(r),
                             )
                         )
                     except Exception as exc:  # noqa: BLE001 — taxonomy below
@@ -188,6 +213,7 @@ def fetch_frontier(
                                 None,
                                 [],
                                 [],
+                                *_carry(r),
                             )
                         )
                 yield pd.DataFrame(

@@ -144,8 +144,11 @@ class CrawlEngine:
             default_budget=cfg.default_host_budget,
             salted=self.salted,
         )
-        # the fetch happens AT round r regardless of discovery round
-        scheduled = scheduled.withColumn("round", F.lit(r))
+        # the fetch happens AT round r regardless of discovery round; the
+        # discovery keys ride THROUGH the kernel (no join back needed)
+        scheduled = scheduled.withColumnRenamed("round", "disc_round").withColumn(
+            "round", F.lit(r)
+        )
 
         fetched = fetch_frontier(
             scheduled, self.world, backend=self.fetch_backend
@@ -155,20 +158,6 @@ class CrawlEngine:
         fetched = fetched.localCheckpoint(eager=True)
 
         # --- retry / blocked requeue (W3 + J3) ---------------------------
-        sched_cols = scheduled.select(
-            F.col("url_hash").alias("s_hash"),
-            F.col("url").alias("s_url"),
-            "url_norm",
-            F.col("host").alias("s_host"),
-            F.col("path").alias("s_path"),
-            F.col("round").alias("disc_round"),
-            "parent_seq",
-            "link_pos",
-            "attempts",
-        )
-        f = fetched.join(
-            sched_cols, fetched["url_hash"] == sched_cols["s_hash"], "inner"
-        )
         retry_error = (
             F.col("error_class").isNotNull()
             & ~F.col("error_class").isin(*_NO_RETRY_ERRORS)
@@ -179,12 +168,12 @@ class CrawlEngine:
             & F.lit(cfg.retry_blocked_pages)
             & (F.col("attempts") + 1 <= F.lit(cfg.blocked_retry_passes))
         )
-        requeue = f.filter(retry_error | retry_blocked).select(
-            F.col("s_url").alias("url"),
-            "url_norm",
-            F.col("s_hash").alias("url_hash"),
-            F.col("s_host").alias("host"),
-            F.col("s_path").alias("path"),
+        requeue = fetched.filter(retry_error | retry_blocked).select(
+            F.col("url"),  # canonical (canonicalization is idempotent)
+            F.col("url").alias("url_norm"),
+            "url_hash",
+            "host",
+            "path",
             F.col("disc_round").alias("round"),
             "parent_seq",
             "link_pos",
@@ -193,14 +182,12 @@ class CrawlEngine:
             (F.lit(r) + F.col("attempts") + 1).alias("not_before_round"),
         )
 
-        # --- seen delta: scheduled minus requeued (visited.Delete parity) --
-        seen_delta = (
-            scheduled.join(requeue.select("url_hash"), "url_hash", "left_anti")
-            .select(
-                "url_hash",
-                "url_norm",
-                F.lit(r).alias("seen_round"),
-            )
+        # --- seen delta: scheduled minus requeued (visited.Delete parity,
+        # crawler.go:316) — pure column logic on the fetch output
+        seen_delta = fetched.filter(~(retry_error | retry_blocked)).select(
+            "url_hash",
+            F.col("url").alias("url_norm"),
+            F.lit(r).alias("seen_round"),
         )
         self.seen_t.commit(seen_delta, lineage={"round": r, "op": "seen+="})
 

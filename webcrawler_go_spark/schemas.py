@@ -110,12 +110,20 @@ FETCH_LOG = StructType(
     ]
 )
 
-# result of the fetch+extract kernel, before documents/links split
+# result of the fetch+extract kernel, before documents/links split.
+# Frontier metadata (discovery keys, attempts, path) is CARRIED THROUGH
+# the kernel so no join back to the schedule is needed afterwards — one
+# less shuffle per round.
 FETCH_RESULT = StructType(
     list(FETCH_LOG.fields)
     + [
         StructField("spans", ArrayType(SPAN, False), False),
         StructField("outlinks", ArrayType(StringType(), False), False),
+        StructField("path", StringType(), False),
+        StructField("disc_round", IntegerType(), False),
+        StructField("parent_seq", LongType(), False),
+        StructField("link_pos", IntegerType(), False),
+        StructField("attempts", IntegerType(), False),
     ]
 )
 
