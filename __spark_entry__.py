@@ -615,6 +615,313 @@ def q_headline_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis /
+# events / multimodal) — first-class at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted copies (doc_id+100000 where doc_id%7=0) — the
+    testdata has no natural duplicates, so dedup queries synthesize them
+    identically in both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DUP_DOCS_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# DuckDB 1.0 has no WITH ORDINALITY; lateral unnest(generate_series) gives
+# 1-based positions instead
+_TOKENS_SQL = """
+toklists AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM docs
+),
+tokens AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos1, l[t.i] AS token
+  FROM toklists, unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[t.i] <> ''
+)
+"""
+
+_SHINGLES_SQL = """
+grams AS (
+  SELECT doc_id, token || ' ' || t1 || ' ' || t2 AS shingle
+  FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos1) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos1) AS t2
+    FROM tokens
+  )
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest-groupBy, canonical = min doc_id per text."""
+    from webcrawler_go_spark.operators.textdedup import exact_duplicates
+
+    return exact_duplicates(_dup_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.5 (exact candidate-join)."""
+    from webcrawler_go_spark.operators.textdedup import jaccard_pairs
+
+    return jaccard_pairs(_dup_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands × 2 rows) candidate pairs."""
+    from webcrawler_go_spark.operators.textdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_dup_docs(spark, sf_dir), n=3, rows_per_band=2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (sign of weighted bits)."""
+    from webcrawler_go_spark.operators.textdedup import simhash
+
+    return simhash(_dup_docs(spark, sf_dir), bits=16)
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-pairs ≥ 0.2 over quantized embeddings
+    (quantization ⇒ exact integer dot products, cross-engine equal)."""
+    from webcrawler_go_spark.operators.similarity import cosine_pairs_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_quantized(emb, threshold=0.2, scale=1000)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets + in-bucket verification."""
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.textanalysis import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.textanalysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.textanalysis import (
+        token_count_bpe_ish,
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.textanalysis import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.events import tumbling_window_agg
+
+    return tumbling_window_agg(_t(spark, sf_dir, "events"), minutes=60)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_go_spark.operators.events import error_rate_by_window
+
+    return error_rate_by_window(_t(spark, sf_dir, "events"), minutes=60)
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9-adjacent: schema-flexible JSON field extraction + string coerce
+    (jsonfeed.go:224-284)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def q_feed_field_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: flexible field fallbacks (headline|title|name, link|url|...)
+    over a feed-shaped projection of customer."""
+    from webcrawler_go_spark.functions.classify import coalesce_feed_fields
+
+    c = _t(spark, sf_dir, "customer")
+    feed = c.select(
+        F.col("c_custkey").alias("item_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("T"), F.col("c_name"))).alias("title"),
+        F.concat(F.lit("N"), F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 2 == 0, F.concat(F.lit("https://u/"), F.col("c_custkey").cast("string"))).alias("url"),
+        F.concat(F.lit("https://p/"), F.col("c_custkey").cast("string")).alias("permalink"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("2026-01-01")).alias("published"),
+        F.col("c_mktsegment").alias("summary"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("tag-a,tag-b")).alias("keywords"),
+    )
+    return feed.select("item_id", *coalesce_feed_fields(feed.columns))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blobs → mapInPandas decode (fake
+    deterministic decoder) → typed feature rows. The Arrow/batch path is
+    real; only the codec math is faked (no codec libs in the container)."""
+    from webcrawler_go_spark.operators.multimodal import (
+        decode_media,
+        media_blobs_from_documents,
+    )
+
+    blobs = media_blobs_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_media(blobs, use_fake_decoder=True)
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN ((v.token_id * {2 * k + 3} + {997 * k + 101}) % 1000000007) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits))
+    return f"""
+WITH {_DUP_DOCS_SQL.strip().rstrip()}, {_TOKENS_SQL.strip()},
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT token FROM tokens)
+),
+sums AS (
+  SELECT t.doc_id, {sums}
+  FROM tokens t JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.textdedup import MINHASH_COEFFS, MINHASH_P
+
+    hs = ",\n    ".join(
+        f"MIN((sid * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS band, CAST(h{2 * i} AS VARCHAR) || '_' || CAST(h{2 * i + 1} AS VARCHAR) AS bucket FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH {_DUP_DOCS_SQL.strip()}, {_TOKENS_SQL.strip()}, {_SHINGLES_SQL.strip()},
+vocab AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+ids AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)),
+sig AS (SELECT doc_id, {hs} FROM ids GROUP BY doc_id),
+banded AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _lang_id_sql_scores(text_expr: str) -> dict[str, str]:
+    from webcrawler_go_spark.operators.textanalysis import LANG_STOPWORDS
+
+    return {
+        lang: "("
+        + " + ".join(
+            f"(CASE WHEN regexp_matches(lower({text_expr}), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        + ")"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def _lang_id_oracle_sql() -> str:
+    s = _lang_id_sql_scores("text")
+    best = f"GREATEST({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+SELECT doc_id, lang,
+  (CASE WHEN {best} = 0 THEN 'und'
+        WHEN {s['en']} = {best} THEN 'en'
+        WHEN {s['de']} = {best} THEN 'de'
+        WHEN {s['fr']} = {best} THEN 'fr'
+        ELSE 'es' END) AS lang_pred
+FROM documents
+"""
+
+
+_QEMB_SQL = """
+qa AS (
+  SELECT vec_id, CAST(u.i AS INT) AS ord,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+n2 AS (SELECT vec_id, SUM(qx * qx) AS n2 FROM qa GROUP BY vec_id)
+"""
+
+
+def _ann_oracle_sql(n_planes: int = 8, threshold: float = 0.15) -> str:
+    signs = ",\n    ".join(
+        f"SUM(CASE WHEN ((ord * {2 * k + 3}) % 7) % 2 = 1 THEN qx ELSE -qx END) AS g{k}"
+        for k in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN g{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(n_planes)
+    )
+    return f"""
+WITH {_QEMB_SQL.strip()},
+sig AS (
+  SELECT vec_id, {signs}
+  FROM qa GROUP BY vec_id
+),
+buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM sig),
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
+  FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -647,6 +954,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_ellipsis": q_truncate_ellipsis,
         "filename_sanitize": q_filename_sanitize,
         "headline_filename": q_headline_filename,
+        # training-data pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_error_rate": q_events_error_rate,
+        "props_json_extract": q_props_json_extract,
+        "feed_field_coalesce": q_feed_field_coalesce,
+        "media_metadata": q_media_metadata,
     }
 
 
@@ -857,6 +1181,153 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer
               )
             )""",
+        # --- training-data pipeline oracles ---
+        "dedup_exact": f"""
+            WITH {_DUP_DOCS_SQL.strip()}
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+            FROM docs""",
+        "dedup_jaccard_pairs": f"""
+            WITH {_DUP_DOCS_SQL.strip()}, {_TOKENS_SQL.strip()}, {_SHINGLES_SQL.strip()},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a, i.b, i.n_common,
+                   ROUND(i.n_common / (na.n_sh + nb.n_sh - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.a
+            JOIN sizes nb ON nb.doc_id = i.b
+            WHERE i.n_common / (na.n_sh + nb.n_sh - i.n_common) >= 0.5""",
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(16),
+        "embedding_cosine_pairs": f"""
+            WITH {_QEMB_SQL.strip()},
+            dots AS (
+              SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
+              FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+            FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+            WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
+        "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
+        "text_quality": """
+            SELECT doc_id,
+                   n_chars_m, n_tokens, n_punct,
+                   ROUND((n_chars_m - (n_tokens - 1)) / GREATEST(n_tokens, 1), 4) AS avg_token_len,
+                   punct_ratio,
+                   ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                         + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+                         + LEAST(CAST(en_hits AS DOUBLE) / 3.0, 1.0) * 0.2, 6) AS quality_score
+            FROM (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_m,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                     ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                           / GREATEST(CAST(length(text) AS BIGINT), 1), 6) AS punct_ratio,
+                     ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\ba\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END)) AS en_hits
+              FROM documents
+            )""",
+        "lang_id": _lang_id_oracle_sql(),
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+            FROM documents""",
+        "doc_fingerprint": f"""
+            WITH docs AS (SELECT doc_id, text FROM documents), {_TOKENS_SQL.strip()},
+            vocab AS (
+              SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+              FROM (SELECT DISTINCT token FROM tokens)
+            )
+            SELECT t.doc_id,
+                   SUM(((v.token_id * 1000003) % 1000000007) * t.pos1) % 1000000007 AS fingerprint
+            FROM tokens t JOIN vocab v USING (token)
+            GROUP BY t.doc_id""",
+        "events_window_agg": """
+            SELECT make_timestamp(win_id * 3600 * 1000000) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS value_sum
+            FROM (
+              SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
+            ) GROUP BY 1, 2""",
+        "events_sessionize": """
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end
+            FROM (
+              SELECT user_id, ts,
+                     SUM(CASE WHEN prev_ts IS NULL
+                              OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                                 - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM (
+                SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+              )
+            ) GROUP BY 1, 2""",
+        "events_error_rate": """
+            SELECT make_timestamp(win_id * 3600 * 1000000) AS win_start,
+                   COUNT(*) AS n_total,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / COUNT(*), 6) AS error_rate
+            FROM (
+              SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
+            ) GROUP BY 1""",
+        "props_json_extract": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events""",
+        "feed_field_coalesce": """
+            SELECT c_custkey AS item_id,
+                   COALESCE(title, name) AS headline,
+                   COALESCE(url, permalink) AS link,
+                   published AS date,
+                   CAST(NULL AS VARCHAR) AS datecode,
+                   summary AS brief,
+                   keywords AS tags
+            FROM (
+              SELECT c_custkey,
+                     (CASE WHEN c_custkey % 3 = 0 THEN 'T' || c_name END) AS title,
+                     'N' || c_name AS name,
+                     (CASE WHEN c_custkey % 2 = 0 THEN 'https://u/' || CAST(c_custkey AS VARCHAR) END) AS url,
+                     'https://p/' || CAST(c_custkey AS VARCHAR) AS permalink,
+                     (CASE WHEN c_custkey % 5 = 0 THEN '2026-01-01' END) AS published,
+                     c_mktsegment AS summary,
+                     (CASE WHEN c_custkey % 4 = 0 THEN 'tag-a,tag-b' END) AS keywords
+              FROM customer
+            )""",
+        "media_metadata": """
+            SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'image'
+                         WHEN doc_id % 4 = 1 THEN 'audio'
+                         WHEN doc_id % 4 = 2 THEN 'video'
+                         ELSE 'pdf' END) AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   (CASE WHEN doc_id % 4 IN (0, 2)
+                         THEN CAST(strlen(text) % 1920 + 1 AS INT) END) AS width,
+                   (CASE WHEN doc_id % 4 IN (0, 2)
+                         THEN CAST(strlen(text) % 1080 + 1 AS INT) END) AS height,
+                   (CASE WHEN doc_id % 4 = 2
+                         THEN CAST(strlen(text) % 240 + 1 AS INT) END) AS n_frames
+            FROM documents""",
     }
 
 

@@ -1,0 +1,97 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/feature-extract kernels are STUBS in this container (no
+image/audio libraries baked in): the Spark-side plumbing — schema,
+partitioning, mapInPandas signature, Arrow batch shape — is real and
+tested; the pixel/sample math raises ``NotImplementedError`` unless the
+deterministic fake is requested (tests use the fake).
+
+Pipeline shape for the 100 TB case:
+  blobs (media_ref, media_type, payload binary, meta map)
+    → repartition by media_type (codec-homogeneous tasks)
+    → mapInPandas decode/extract (Arrow batches of binary)
+    → typed feature table (width/height/duration/frames/embedding)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURES = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def media_blobs_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive deterministic opaque blobs from the documents table —
+    payload = UTF-8 bytes of the text (stand-in for image bytes), typed
+    by doc_id arithmetic. Real crawls fill this from the fetch kernel's
+    media responses."""
+    mt = (
+        F.when(F.col("doc_id") % 4 == 0, "image")
+        .when(F.col("doc_id") % 4 == 1, "audio")
+        .when(F.col("doc_id") % 4 == 2, "video")
+        .otherwise("pdf")
+    )
+    return docs.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        mt.alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"),
+            F.lit("lang"), F.col("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
+    """Decode/feature-extract media blobs via mapInPandas.
+
+    ``use_fake_decoder=True`` → deterministic fake features derived from
+    payload length (keeps the full Spark path testable with no codec
+    libs). ``False`` → attempts real decoding and raises
+    NotImplementedError (codec libraries are not in this container)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not use_fake_decoder:
+                # real path: PIL / soundfile / pyav per media_type
+                raise NotImplementedError(
+                    "media decoding requires codec libraries not present "
+                    "in this container; pass use_fake_decoder=True"
+                )
+            n = b["payload"].map(len)
+            is_img = b["media_type"] == "image"
+            is_vid = b["media_type"] == "video"
+            yield pd.DataFrame(
+                {
+                    "media_ref": b["media_ref"],
+                    "media_type": b["media_type"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 1920 + 1).where(is_img | is_vid).astype("Int32"),
+                    "height": (n % 1080 + 1).where(is_img | is_vid).astype("Int32"),
+                    "n_frames": (n % 240 + 1).where(is_vid).astype("Int32"),
+                }
+            )
+
+    # codec-homogeneous tasks: one partition decodes one media_type batch
+    return blobs.repartition("media_type").mapInPandas(kernel, MEDIA_FEATURES)

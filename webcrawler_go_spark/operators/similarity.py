@@ -1,0 +1,212 @@
+"""Similarity search over an embedding column (array<float>).
+
+* **brute-force cosine** — exact: F.zip_with dot products, JVM-side,
+  no Python. All-pairs is O(n²) shuffle → only the baseline.
+* **LSH-bucketed ANN (random hyperplanes)** — the scale path: sign of
+  ⟨v, h_k⟩ for K deterministic hyperplanes gives a K-bit bucket; only
+  same-bucket pairs are compared. Hyperplane components are deterministic
+  ±1 patterns over dimension index (portable to ANSI SQL, so the oracle
+  can verify bucketing AND the final pairs).
+* **IVF-style partitioning** is noted for completeness: k-means coarse
+  centroids then per-cell search; k-means itself is iterative — kept out
+  of the oracle surface, the LSH variant covers the ANN contract.
+
+Everything here is pure DataFrame ops on `array<float>` — aggregate /
+zip_with / transform — so whole-stage codegen applies; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def quantized(vec, scale: int = 1000):
+    """array<float> → array<bigint> by round(x*scale).
+
+    Quantization makes every downstream dot/norm an EXACT integer sum —
+    independent of addition order, hence bit-identical across engines
+    (Spark vs the DuckDB oracle) and across partitionings. Rank/threshold
+    results on quantized cosine are therefore fully deterministic; the
+    float variants remain for production use where cross-engine
+    reproducibility is not part of the contract.
+
+    float32 → float64 FIRST (exact), then scale in double: both engines
+    round the identical double product."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _qdot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_pairs_quantized(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine over quantized vectors (oracle-reproducible;
+    see ``quantized``). Returns (a, b, cosine) with a < b."""
+    q = emb.select(F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q"))
+    q = q.withColumn("n2", _qdot(F.col("q"), F.col("q")))
+    a = q.select(F.col("id").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("n2a"))
+    b = q.select(F.col("id").alias("b"), F.col("q").alias("qb"), F.col("n2").alias("n2b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _qdot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (a < b). Baseline only — the
+    cross join is O(n²); use lsh_candidate_pairs at scale."""
+    a = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("_norm").alias("na")
+    )
+    b = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("_norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast the small
+    query side; rank per query with a Window)."""
+    from pyspark.sql import Window
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"), F.col("_norm").alias("nv")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("_norm").alias("nq")
+    )
+    joined = base.crossJoin(F.broadcast(q)).filter(F.col("neighbor") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_sign_bits(
+    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, bucket) — K-bit random-hyperplane signature.
+
+    Hyperplane k has component ±1 at dimension d determined by parity of
+    ((d+1)*(2k+3) mod 7) — deterministic, oracle-expressible, and fixed
+    across runs. sign bit = 1 iff Σ ±v_d > 0."""
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for k in range(n_planes):
+        signed = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(1), F.size(v)),
+                lambda x, d: F.when(((d * (2 * k + 3)) % 7) % 2 == 1, x.cast("double")).otherwise(
+                    -x.cast("double")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int | None = 1000,
+) -> DataFrame:
+    """ANN near-pairs: bucket by hyperplane signature, verify cosine only
+    within buckets. Recall < 1 by construction (ANN contract); precision
+    exact because candidates are re-verified. ``scale`` set → quantized
+    integer math (cross-engine reproducible); None → float path."""
+    v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
+
+    def _signed_term(k: int):
+        # closure factory: zip_with lambdas must take exactly 2 params
+        return lambda x, d: F.when(((d * (2 * k + 3)) % 7) % 2 == 1, x).otherwise(-x)
+
+    sig = F.lit(0).cast("long")
+    for k in range(n_planes):
+        signed = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _signed_term(k)),
+            F.lit(0).cast("long") if scale else F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        (quantized(F.col(vec_col), scale) if scale else F.col(vec_col)).alias("q"),
+        sig.alias("bucket"),
+    )
+    q = q.withColumn("n2", _qdot(F.col("q"), F.col("q")))
+    a = q.select(F.col("id").alias("a"), "bucket", F.col("q").alias("qa"), F.col("n2").alias("n2a"))
+    b = q.select(F.col("id").alias("b"), "bucket", F.col("q").alias("qb"), F.col("n2").alias("n2b"))
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    cos = _qdot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

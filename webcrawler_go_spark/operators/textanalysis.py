@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst column expressions over ``documents(doc_id, text)`` —
+regex/split/aggregate built-ins, zero UDFs — each with an ANSI-SQL
+twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+    "es": ["el", "la", "los", "las", "es", "una", "para"],
+}
+
+FP_P = 1_000_000_007
+FP_A = 1_000_003
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count ('' → 0)."""
+    t = F.trim(text)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish sub-token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (a cheap proxy for byte-pair
+    vocabularies' word/punct splitting)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("long")
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """How many of the profile's stopwords appear as whole words."""
+    lower = F.lower(text)
+    hits = [
+        F.when(lower.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in words
+    ]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return total
+
+
+def lang_id(text: Column) -> Column:
+    """Language guess = profile with the most whole-word stopword hits
+    (ties broken by fixed profile order: en, de, fr, es; no hits → 'und')."""
+    scores = {
+        lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    best_score = None
+    for s in scores.values():
+        best_score = s if best_score is None else F.greatest(best_score, s)
+    guess = F.lit("und")
+    # reversed so earlier profiles win ties via the final when() chain
+    for lang in reversed(list(LANG_STOPWORDS)):
+        guess = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(guess)
+    return guess
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features (length, token stats, punct/stopword
+    ratios) + a composite [0,1] quality score — the usual cheap filters
+    before expensive dedup/training."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count_ws(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).cast("long")
+    en_hits = stopword_hits(t, LANG_STOPWORDS["en"])
+    avg_token_len = F.round(
+        (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
+        + F.least(en_hits.cast("double") / 3.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling fingerprint over token ids:
+    fp = Σ (pos+1) · ((token_id · A) mod P)  (mod P).
+
+    Token ids come from the deterministic sorted-vocabulary ranking (see
+    textdedup.token_vocab) so the oracle can reproduce fp bit-for-bit.
+    At 100 TB one would swap the vocab rank for xxhash64(token) — same
+    operator shape, engine-private ids."""
+    from webcrawler_go_spark.operators.textdedup import doc_token_ids
+
+    ids = doc_token_ids(docs, text_col)
+    term = ((F.col("token_id") * F.lit(FP_A)) % F.lit(FP_P)) * (F.col("pos") + 1)
+    return (
+        ids.groupBy("doc_id")
+        .agg((F.sum(term) % F.lit(FP_P)).alias("fingerprint"))
+    )
