@@ -1,0 +1,57 @@
+"""Similarity-search operator tests (exact cosine, quantized parity,
+LSH recall, top-k)."""
+
+from __future__ import annotations
+
+import math
+
+from webcrawler_go_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    cosine_pairs_quantized,
+    lsh_candidate_pairs,
+)
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0, 0.0]),   # ≈ vec 1
+    (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    (4, [0.7071, 0.7071, 0.0, 0.0]),
+    (5, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 1
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_pairs_exact(spark):
+    pairs = {(r.a, r.b): r.cosine for r in cosine_pairs(_emb(spark), threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 5) not in pairs  # cosine -1
+
+
+def test_quantized_matches_float_on_clear_margins(spark):
+    f = {(r.a, r.b) for r in cosine_pairs(_emb(spark), threshold=0.9).collect()}
+    q = {(r.a, r.b) for r in cosine_pairs_quantized(_emb(spark), threshold=0.9).collect()}
+    assert f == q
+
+
+def test_lsh_separates_opposites(spark):
+    """Hyperplane LSH must put v and -v in complementary buckets → the
+    (1,5) pair can never be a candidate; near-identical vectors share
+    all buckets → (1,2) always survives."""
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(_emb(spark), threshold=0.9).collect()}
+    assert (1, 2) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_brute_force_topk(spark):
+    queries = _emb(spark).filter("vec_id = 1")
+    got = brute_force_topk(_emb(spark), queries, k=2).collect()
+    ranked = [r.neighbor for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked[0] == 2            # closest
+    assert len(ranked) == 2
+    for r in got:
+        assert not math.isnan(r.cosine)

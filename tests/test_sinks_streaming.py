@@ -1,0 +1,131 @@
+"""Sinks (CSV, XML sitemap) + Structured Streaming twins + sitemap/feed
+plans."""
+
+from __future__ import annotations
+
+import glob
+import os
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.operators.events import tumbling_window_agg
+from webcrawler_go_spark.plans.sitemap import (
+    generate_sitemap,
+    synthesize_archives,
+    synthesize_pagination,
+)
+from webcrawler_go_spark.sinks.csv_sink import write_csv
+from webcrawler_go_spark.streaming.frontier_stream import stream_window_counts
+from webcrawler_go_spark.worldgen import World
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://a.test/x", 200, "text/html", 123)],
+        "url string, status int, content_type string, bytes long",
+    )
+    out = str(tmp_path / "csv")
+    write_csv(df, out, mode_name="search", single_file=True)
+    files = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(files) == 1
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 1
+    assert back.columns == ["url", "status", "content_type", "bytes"]
+
+
+def test_sitemap_end_to_end(spark, state_dir, tmp_path):
+    """Full sitemap mode: crawl synthetic world → XML file; entries are
+    sorted, deduped, and only successful HTML pages appear (the
+    delete-on-failure semantics as a filter)."""
+    world = World(n_hosts=4, pages_per_host=30)
+    out = str(tmp_path / "sitemap.xml")
+    n = generate_sitemap(
+        spark,
+        "https://host-0000.test/page/0",
+        state_dir,
+        out,
+        world=world,
+        max_rounds=3,
+    )
+    assert n > 0
+    tree = ET.parse(out)
+    ns = {"sm": "http://www.sitemaps.org/schemas/sitemap/0.9"}
+    locs = [el.text for el in tree.findall(".//sm:loc", ns)]
+    assert locs == sorted(locs)
+    assert len(locs) == len(set(locs))
+    assert n == len(locs)
+
+
+def test_pagination_synthesis_shapes(spark):
+    urls = spark.createDataFrame(
+        [("https://h.test/blog/",), ("https://h.test/file.pdf",)], "url string"
+    )
+    cands = [r.candidate for r in synthesize_pagination(urls).collect()]
+    assert "https://h.test/blog/?page=2" in cands
+    assert "https://h.test/blog/page/10/" in cands
+    assert not any("file.pdf" in c for c in cands)  # not a listing page
+
+
+def test_archive_synthesis_months(spark):
+    urls = spark.createDataFrame(
+        [("https://h.test/news/2025/",), ("https://h.test/about/",)], "url string"
+    )
+    cands = [r.candidate for r in synthesize_archives(urls).collect()]
+    assert "https://h.test/news/2025/january/" in cands
+    assert len(cands) == 12  # /about/ is not newsy
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    """File-source stream + availableNow must produce the same windowed
+    counts as the batch twin (complete-mode aggregation)."""
+    import shutil
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = stream_window_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (r.win_start, r.event_type): (r.n_events, r.value_sum)
+        for r in tumbling_window_agg(events, minutes=60).collect()
+    }
+    assert got == expected
+
+
+def test_feed_capture_frontier(spark, tmp_path):
+    import json
+
+    feed_path = tmp_path / "feed.json"
+    feed_path.write_text(
+        json.dumps(
+            [
+                {"title": "Big News: Spark!", "url": "/posts/1", "tags": "tech,spark"},
+                {"headline": "Other", "link": "https://x.test/p", "categories": "misc"},
+                {"name": "NoLink"},
+            ]
+        )
+    )
+    from webcrawler_go_spark.plans.feed import feed_capture_frontier, read_feed
+
+    feed = read_feed(spark, str(feed_path))
+    rows = feed_capture_frontier(feed, "https://base.test", tag_filter="tech").collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://base.test/posts/1"
+    assert rows[0]["captured_file"] == "big-news-spark"

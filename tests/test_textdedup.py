@@ -1,0 +1,57 @@
+"""Dedup-family operator tests with hand-checkable corpora."""
+
+from __future__ import annotations
+
+from webcrawler_go_spark.operators.textdedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),        # near dup
+    (4, "completely different words entirely here now okay"),
+    (5, "the quick brown fox jumps over the lazy dog today"),  # near dup
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = {r.doc_id: r.canonical_id for r in exact_duplicates(_docs(spark)).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_shingles_order_and_count(spark):
+    sh = shingles(_docs(spark), n=3)
+    per_doc = {r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    # doc 1 has 9 tokens → 7 trigrams, but 'the' repeats: distinct count
+    assert per_doc[4] == 5  # 7 tokens → 5 distinct trigrams
+    assert per_doc[1] == 7
+
+
+def test_jaccard_pairs_finds_near_dups(spark):
+    pairs = {(r.a, r.b): r.jaccard for r in jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert (1, 3) in pairs               # one word differs
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_recall_on_exact_dups(spark):
+    cand = {(r.a, r.b) for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 2) in cand                # identical docs always collide
+    assert all(4 not in p for p in cand)
+
+
+def test_simhash_hamming(spark):
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark), bits=16).collect()}
+    assert fp[1] == fp[2]                # identical text → identical fingerprint
+    near = {(r.a, r.b): r.hamming for r in simhash_near_pairs(_docs(spark), max_hamming=3, bits=16).collect()}
+    assert near[(1, 2)] == 0

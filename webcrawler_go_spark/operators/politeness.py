@@ -62,6 +62,12 @@ def rank_per_host_salted(frontier: DataFrame, n_salts: int = 16) -> DataFrame:
     key_cols = [F.col(c) for c in ORDER_COLS]
     fr = frontier.repartitionByRange(n_salts, F.col("host"), *key_cols)
     fr = fr.withColumn("_pid", F.spark_partition_id())
+    # pin ONE evaluation of the range exchange: the local-rank branch and
+    # the counts branch must observe the same sampled range boundaries,
+    # otherwise (host,_pid) offsets would not line up with local ranks
+    # (rows would silently drop at the offsets join). localCheckpoint also
+    # truncates lineage inside the iterative loop.
+    fr = fr.localCheckpoint(eager=True)
     w_local = Window.partitionBy("host", "_pid").orderBy(*key_cols)
     fr = fr.withColumn("_local_rank", F.row_number().over(w_local))
     counts = fr.groupBy("host", "_pid").agg(F.count("*").alias("_n"))
