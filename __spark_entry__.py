@@ -614,6 +614,179 @@ def q_headline_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_broken_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: link→page provenance — outlinks joined to their fetch status;
+    broken = status ≥ 400 or network error (crawler.go:830-888)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_partkey") % 1000).alias("lk"),
+        F.col("l_linenumber").cast("int").alias("link_pos"),
+    )
+    pages = canon_corpus(spark, sf_dir).select("k", F.col("url_norm").alias("found_on"))
+    # link target = another corpus URL keyed by lk-derived order key
+    targets = canon_corpus(spark, sf_dir).select(
+        (F.col("k") % 1000).alias("lk"), F.col("url_norm").alias("href")
+    ).groupBy("lk").agg(F.min("href").alias("href"))
+    links = li.join(pages, "k").join(targets, "lk")
+    status = canon_corpus(spark, sf_dir).select(
+        F.col("url_norm").alias("href2"), _status_col(F.col("k")).alias("status")
+    ).groupBy("href2").agg(F.min("status").alias("status"))
+    return (
+        links.join(status, links["href"] == status["href2"], "left")
+        .filter(F.col("status") >= 400)
+        .select("found_on", F.col("href").alias("broken_url"), "status", "link_pos")
+    )
+
+
+def q_resolve_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: RFC-3986 reference resolution on the common grammar —
+    absolute kept, '/x' → scheme://host/x, relative → parent dir
+    (crawler.go:862-866; full urljoin parity via the pandas UDF is unit
+    tested, this query covers the SQL-expressible grammar)."""
+    base = canon_corpus(spark, sf_dir).select("k", "url_norm", "host", "path")
+    href = (
+        F.when(F.col("k") % 4 == 0, F.lit("https://ext.test/abs"))
+        .when(F.col("k") % 4 == 1, F.lit("/rooted/page"))
+        .when(F.col("k") % 4 == 2, F.lit("child"))
+        .otherwise(F.lit("../up"))
+    )
+    scheme_host = F.concat(F.lit("https://"), F.col("host"))
+    parent_dir = F.regexp_replace(F.col("path"), "[^/]*$", "")
+    resolved = (
+        F.when(href.rlike("^https?://"), href)
+        .when(href.startswith("/"), F.concat(scheme_host, href))
+        .when(
+            href.startswith("../"),
+            F.concat(
+                scheme_host,
+                F.regexp_replace(parent_dir, "[^/]*/$", ""),
+                F.regexp_replace(href, r"^\.\./", ""),
+            ),
+        )
+        .otherwise(F.concat(scheme_host, parent_dir, href))
+    )
+    return base.select("k", href.alias("href"), resolved.alias("resolved"))
+
+
+def q_lastmod_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: RFC-1123 Last-Modified header → date (sitemap.go:250-253)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.to_date("o_orderdate").alias("d")
+    )
+    hdr = F.concat(
+        F.date_format("d", "EEE, dd MMM yyyy"), F.lit(" 08:30:00 GMT")
+    )
+    # Spark ≥3 bans day-name fields in PARSE patterns (they're redundant):
+    # strip the 'Mon, ' prefix before parsing, as real header parsers do
+    parsed = F.to_timestamp(
+        F.regexp_replace(hdr, "^[A-Za-z]+, ", ""), "dd MMM yyyy HH:mm:ss zzz"
+    )
+    return o.select(
+        "k",
+        hdr.alias("last_modified_header"),
+        F.to_date(parsed).alias("lastmod"),
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots allow/deny longest-prefix-match (FIXTURES §6, tie→allow):
+    URLs surviving the deny rules, counted per host."""
+    c = canon_corpus(spark, sf_dir).select("url_norm", "host", "path").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    robots = s.select(
+        F.concat(
+            F.lit("host-"),
+            F.lpad((F.col("s_suppkey") % _D["n_hosts"]).cast("string"), 4, "0"),
+            F.lit(".test"),
+        ).alias("host"),
+        F.when(F.col("s_suppkey") % 2 == 0, "deny").otherwise("allow").alias("rule"),
+        F.concat(F.lit("/page/"), (F.col("s_suppkey") % 10).cast("string")).alias(
+            "path_pfx"
+        ),
+    ).distinct()
+    from webcrawler_go_spark.operators.politeness import apply_robots
+
+    fr = c.withColumn("url_hash", F.xxhash64("url_norm"))
+    allowed = apply_robots(fr, robots)
+    return allowed.groupBy("host").agg(F.count("*").alias("n_allowed"))
+
+
+def q_targets_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: batch targets-file source — read text, extract URLs, dedup
+    (reference README.md:300-331 batch capture mode)."""
+    t = spark.read.text("/root/repo/fixtures/targets.txt")
+    urls = t.select(
+        F.explode(
+            F.regexp_extract_all(F.col("value"), F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url")
+    )
+    return urls.distinct()
+
+
+def q_url_hash31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (rows-only): Go-parity filename hash over query strings via the
+    Arrow UDF; exact golden values are unit-tested (pdfcapture.go:556-562)."""
+    from webcrawler_go_spark.functions.urls import hash31_hex8_udf
+
+    c = url_corpus(spark, sf_dir)
+    q = F.regexp_extract("url", r"\?([^#]*)", 1)
+    return (
+        c.filter(q != "")
+        .select("url", q.alias("query"), hash31_hex8_udf()(q).alias("hash8"))
+    )
+
+
+def q_head_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (rows-only): HEAD-probe surface — same fetch kernel, no body:
+    per-URL status for link validation (crawler.go:869-882)."""
+    from webcrawler_go_spark.operators.fetch import fetch_frontier
+    from webcrawler_go_spark.worldgen import World
+
+    fr = (
+        canon_corpus(spark, sf_dir)
+        .limit(2000)
+        .select(
+            "url_norm",
+            F.xxhash64("url_norm").alias("url_hash"),
+            "host",
+            "path",
+            F.monotonically_increasing_id().alias("seq"),
+            F.lit(0).alias("round"),
+        )
+    )
+    probed = fetch_frontier(fr, World(), method="HEAD")
+    return probed.select("url", "status", "error_class")
+
+
+def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the COMPLETE batch-iterative engine end-to-end — seed →
+    3 rounds of canonicalize/dedup/schedule/fetch/extract/requeue with
+    snapshot commits — returning per-host fetch counts. Oracle-less here;
+    the full parity gate (seen set, per-host order, span sequences vs the
+    sequential oracle) runs in tests/test_crawl_parity.py."""
+    import tempfile
+
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=3, default_host_budget=8)
+    state = tempfile.mkdtemp(prefix="q-crawl-")
+    eng = CrawlEngine(spark, cfg, state, world=world)
+    eng.run(
+        spark.createDataFrame(
+            gen_seeds(world, 3), "url string, priority double, seq int"
+        ),
+        max_rounds=3,
+    )
+    return (
+        eng.fetch_log()
+        .groupBy("host")
+        .agg(F.count("*").alias("fetched"), F.sum("bytes").alias("bytes"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis /
 # events / multimodal) — first-class at 100 TB
@@ -954,6 +1127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_ellipsis": q_truncate_ellipsis,
         "filename_sanitize": q_filename_sanitize,
         "headline_filename": q_headline_filename,
+        # crawl spine, batch 3
+        "broken_links": q_broken_links,
+        "resolve_reference": q_resolve_reference,
+        "lastmod_date_parse": q_lastmod_date_parse,
+        "robots_filter": q_robots_filter,
+        "targets_file_source": q_targets_file_source,
+        "url_hash31": q_url_hash31,            # rows-only (Go-parity UDF)
+        "head_probe": q_head_probe,            # rows-only (kernel surface)
+        "crawl_multiround": q_crawl_multiround,  # rows-only (full engine)
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1181,6 +1363,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer
               )
             )""",
+        # --- crawl spine batch 3 oracles ---
+        "broken_links": CANON_SQL + f"""
+            , pages AS (SELECT k, url_norm AS found_on FROM canon),
+            targets AS (
+              SELECT k % 1000 AS lk, MIN(url_norm) AS href FROM canon GROUP BY 1
+            ),
+            status AS (
+              SELECT url_norm AS href2, MIN({_STATUS_SQL}) AS status
+              FROM canon GROUP BY 1
+            )
+            SELECT p.found_on, t.href AS broken_url, s.status,
+                   CAST(l.l_linenumber AS INT) AS link_pos
+            FROM lineitem l
+            JOIN pages p ON p.k = l.l_orderkey
+            JOIN targets t ON t.lk = l.l_partkey % 1000
+            LEFT JOIN status s ON s.href2 = t.href
+            WHERE s.status >= 400""",
+        "resolve_reference": CANON_SQL + """
+            SELECT k, href,
+              (CASE
+                 WHEN regexp_matches(href, '^https?://') THEN href
+                 WHEN starts_with(href, '/') THEN 'https://' || host || href
+                 WHEN starts_with(href, '../')
+                   THEN 'https://' || host
+                        || regexp_replace(regexp_replace(path, '[^/]*$', ''), '[^/]*/$', '')
+                        || regexp_replace(href, '^\\.\\./', '')
+                 ELSE 'https://' || host || regexp_replace(path, '[^/]*$', '') || href
+               END) AS resolved
+            FROM (
+              SELECT k, host, path,
+                (CASE WHEN k % 4 = 0 THEN 'https://ext.test/abs'
+                      WHEN k % 4 = 1 THEN '/rooted/page'
+                      WHEN k % 4 = 2 THEN 'child'
+                      ELSE '../up' END) AS href
+              FROM canon
+            )""",
+        "lastmod_date_parse": """
+            SELECT o_orderkey AS k,
+                   strftime(o_orderdate, '%a, %d %b %Y') || ' 08:30:00 GMT'
+                     AS last_modified_header,
+                   CAST(o_orderdate AS DATE) AS lastmod
+            FROM orders""",
+        "robots_filter": CANON_SQL + """
+            , corpus2 AS (SELECT DISTINCT url_norm, host, path FROM canon),
+            robots AS (
+              SELECT DISTINCT
+                'host-' || lpad(CAST(s_suppkey % 41 AS VARCHAR), 4, '0') || '.test' AS host,
+                (CASE WHEN s_suppkey % 2 = 0 THEN 'deny' ELSE 'allow' END) AS rule,
+                '/page/' || CAST(s_suppkey % 10 AS VARCHAR) AS path_pfx
+              FROM supplier
+            ),
+            matches AS (
+              SELECT c.url_norm, c.host, r.rule, r.path_pfx
+              FROM corpus2 c LEFT JOIN robots r
+                ON r.host = c.host AND starts_with(c.path, r.path_pfx)
+            ),
+            best AS (
+              SELECT url_norm, host, rule,
+                     ROW_NUMBER() OVER (PARTITION BY url_norm
+                       ORDER BY length(COALESCE(path_pfx, '')) DESC, rule ASC) AS rn
+              FROM matches
+            )
+            SELECT host, COUNT(*) AS n_allowed
+            FROM best
+            WHERE rn = 1 AND COALESCE(rule, 'allow') <> 'deny'
+            GROUP BY host""",
+        "targets_file_source": """
+            SELECT DISTINCT u.url FROM (
+              SELECT unnest(regexp_extract_all(value, 'https?://[^\\s]+')) AS url
+              FROM read_csv('/root/repo/fixtures/targets.txt',
+                            columns={'value': 'VARCHAR'}, delim='\\t', header=false)
+            ) u""",
         # --- training-data pipeline oracles ---
         "dedup_exact": f"""
             WITH {_DUP_DOCS_SQL.strip()}

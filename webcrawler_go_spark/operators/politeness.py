@@ -147,10 +147,17 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     robots is a small dim → broadcast. A URL is denied iff the longest
     matching prefix rule is 'deny'.
     """
-    matches = frontier.join(F.broadcast(robots), "host", "left").filter(
-        F.col("path_pfx").isNull()
-        | F.col("path").startswith(F.col("path_pfx"))
+    r = robots.select(
+        F.col("host").alias("r_host"), "rule", "path_pfx"
     )
+    # prefix match belongs in the JOIN condition: a URL whose host has
+    # rules but none matching its path must fall through as allowed
+    matches = frontier.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("path_pfx")),
+        "left",
+    ).drop("r_host")
     w = Window.partitionBy("url_hash").orderBy(
         F.length(F.coalesce(F.col("path_pfx"), F.lit(""))).desc(),
         F.col("rule").asc(),  # tie → 'allow' < 'deny' lexicographically
