@@ -80,6 +80,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         fetch_backend: str = "synthetic",
         salted: bool = False,
+        bloom_threshold: int = 1_000_000,
     ):
         self.spark = spark
         self.config = config
@@ -97,6 +98,7 @@ class CrawlEngine:
             )
         self.budgets = budgets
         self.robots = robots
+        self.bloom_threshold = bloom_threshold
         self.stats: list[RoundStats] = []
 
     # -- seeding ---------------------------------------------------------
@@ -132,8 +134,18 @@ class CrawlEngine:
 
         unique = first_discovery(ready)
         # retried rows (attempts>0) were deliberately removed from seen —
-        # the anti-join naturally lets them through
-        new = dedup_against_seen(unique, seen, use_bloom=False)
+        # the anti-join naturally lets them through. The Bloom pre-filter
+        # pays off once the seen set dwarfs the per-round frontier; the
+        # running fetched total (from committed round stats) estimates it
+        # without an extra count job.
+        seen_estimate = sum(s.scheduled for s in self.stats)
+        new = dedup_against_seen(
+            unique,
+            seen,
+            use_bloom=seen_estimate > self.bloom_threshold,
+            seen_count=seen_estimate,
+            fpp=cfg.bloom_fpp,
+        )
         if self.robots is not None:
             new = apply_robots(new, self.robots)
 
