@@ -201,16 +201,9 @@ class CrawlEngine:
             F.col("url").alias("url_norm"),
             F.lit(r).alias("seen_round"),
         )
-        self.seen_t.commit(seen_delta, lineage={"round": r, "op": "seen+="})
 
         # --- payload + next frontier --------------------------------------
         docs = documents_from_fetch(fetched)
-        self.docs_t.commit(docs, lineage={"round": r})
-        self.log_t.commit(
-            fetched.select(*[f.name for f in FETCH_LOG.fields]),
-            lineage={"round": r},
-        )
-
         candidates = next_frontier_candidates(
             fetched,
             same_host_only=cfg.same_host_only,
@@ -222,9 +215,32 @@ class CrawlEngine:
         ).unionByName(requeue.select(*candidates.columns)).unionByName(
             overflow.select(*candidates.columns)
         )
-        self.frontier_t.commit(
-            next_frontier, mode="replace", lineage={"round": r + 1}
-        )
+
+        # all four commits read only the checkpointed fetch output (plus
+        # tiny carried frames) and are mutually independent → run them as
+        # concurrent Spark jobs from separate threads, halving the
+        # per-round fixed latency that dominates at small round sizes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(
+                    self.seen_t.commit, seen_delta,
+                    lineage={"round": r, "op": "seen+="},
+                ),
+                pool.submit(self.docs_t.commit, docs, lineage={"round": r}),
+                pool.submit(
+                    self.log_t.commit,
+                    fetched.select(*[f.name for f in FETCH_LOG.fields]),
+                    lineage={"round": r},
+                ),
+                pool.submit(
+                    self.frontier_t.commit, next_frontier,
+                    mode="replace", lineage={"round": r + 1},
+                ),
+            ]
+            for f_ in futures:
+                f_.result()
 
         # --- per-round metrics (A1/A2/A3 in one aggregate) -----------------
         agg = fetched.agg(
