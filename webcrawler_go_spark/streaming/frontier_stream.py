@@ -50,6 +50,82 @@ def stream_window_counts(
     )
 
 
+def stream_sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` — per-user session state carried across
+    micro-batches, sessions emitted on gap timeout (the streaming twin of
+    operators/events.sessionize; the reference's cookie/session state,
+    crawler.go:640-645, is the same shape of per-key iteration state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = []
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(
+                int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_all.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = ts_all[0]
+            n = 0
+        for t in ts_all:
+            if t - last > gap_us:
+                rows.append((user_id, start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end", "n_events"]
+        ).assign(
+            session_start=lambda d: pd.to_datetime(d["session_start"], unit="us"),
+            session_end=lambda d: pd.to_datetime(d["session_end"], unit="us"),
+        )
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_frontier_foreach_batch(
     engine,
     seeds_stream: DataFrame,
