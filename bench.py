@@ -32,6 +32,9 @@ HEADLINE = [
     "sitemap_output",
     "filename_sanitize",
     "bot_protection",
+    "dedup_minhash_lsh",
+    "embedding_ann_lsh",
+    "events_sessionize",
 ]
 
 

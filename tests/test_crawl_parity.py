@@ -93,6 +93,24 @@ def test_resumability(spark, state_dir):
     assert seqs == oracle.sequences
 
 
+def test_salted_engine_full_parity(spark, state_dir):
+    """The FULL loop with salted two-phase ranking on a hot-host-skewed
+    world must still reproduce the oracle exactly (SURVEY §7.4 risk #1:
+    crawl-order parity under parallelism + salting)."""
+    world = World(n_hosts=5, pages_per_host=60, same_host_pct=60)  # heavy cross-host
+    cfg = CrawlConfig(max_rounds=5, default_host_budget=7)
+    seeds = gen_seeds(world, 3)
+    eng = CrawlEngine(spark, cfg, state_dir, world=world, salted=True)
+    eng.run(
+        spark.createDataFrame(seeds, "url string, priority double, seq int"),
+        max_rounds=5,
+    )
+    oracle = sequential.crawl(world, seeds, cfg, max_rounds=5)
+    assert {r.url_norm for r in eng.url_seen().collect()} == oracle.seen
+    seqs = {r["host"]: r["fetch_sequence"] for r in eng.per_host_sequences().collect()}
+    assert seqs == oracle.sequences
+
+
 def test_salted_rank_equals_unsalted(spark):
     """Two-phase salted politeness ranking must reproduce the single-phase
     Window exactly (SURVEY §4.1 hard part #3)."""
