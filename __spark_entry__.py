@@ -885,6 +885,17 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only): coarse k-means cells + per-cell top-k — the
+    partition-pruning scale path; recall asserted on separable clusters
+    in tests/test_similarity.py."""
+    from webcrawler_go_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, n_cells=8)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import quality_features
 
@@ -1143,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf_topk": q_embedding_ivf_topk,  # rows-only (ANN, iterative k-means)
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,

@@ -47,6 +47,30 @@ def test_lsh_separates_opposites(spark):
     assert (1, 5) not in pairs
 
 
+def test_ivf_topk_recall_on_clusters(spark):
+    """Two clean clusters: IVF with 2 cells must put each query's true
+    nearest neighbors in its own cell (full recall on separable data)."""
+    import random
+
+    from webcrawler_go_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id IN (0, 1)")
+    got = ivf_topk(emb, queries, k=3, n_cells=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor)
+    # neighbors of an even (cluster-A) query are even; odd stay odd
+    assert all(n % 2 == 0 for n in by_q[0]), by_q[0]
+    assert all(n % 2 == 1 for n in by_q[1]), by_q[1]
+    assert len(by_q[0]) == 3 and len(by_q[1]) == 3
+
+
 def test_brute_force_topk(spark):
     queries = _emb(spark).filter("vec_id = 1")
     got = brute_force_topk(_emb(spark), queries, k=2).collect()

@@ -167,6 +167,128 @@ def hyperplane_sign_bits(
     return emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
 
 
+def assign_to_centroids(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, v) × broadcast centroids → (id, cell) by L2 argmin
+    (deterministic tie-break on cell id)."""
+    from pyspark.sql import Window
+
+    joined = e.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: ((a - b) * (a - b)).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_best = Window.partitionBy("id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    return (
+        joined.withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(w_best))
+        .filter(F.col("_rk") == 1)
+        .select("id", "cell")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic k-means (seed rows = the
+    n_cells lowest ids) refined by ``lloyd_iters`` Lloyd steps, all
+    DataFrame ops (broadcast centroids → argmin assign → groupBy avg).
+
+    Returns (assignments(id, cell), centroids(cell, centroid)). This is
+    the IVF scale path for ANN: queries probe only the nearest cell(s)
+    instead of the whole corpus — at 10^9 vectors the per-cell lists are
+    the unit of partition pruning."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w = Window.orderBy("id")
+    cents = (
+        e.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).alias("cell"), F.col("v").alias("centroid"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return assign_to_centroids(e, centroids)
+
+    for _ in range(lloyd_iters):
+        a = assign(cents)
+        # mean per cell: explode positions, avg, re-assemble
+        exploded = (
+            e.join(a, "id")
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            exploded.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"),
+            )
+        )
+    return assign(cents), cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via IVF: assign corpus + queries to cells, search only
+    the query's own cell (nprobe=1). Recall < 1 by construction; at scale
+    the cell is a partition-pruned slice instead of a full scan."""
+    from pyspark.sql import Window
+
+    assignments, cents = ivf_assign(emb, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    base = (
+        with_norm(emb, vec_col)
+        .join(assignments, emb[id_col] == assignments["id"])
+        .select(
+            F.col(id_col).alias("neighbor"),
+            "cell",
+            F.col(vec_col).alias("v"),
+            F.col("_norm").alias("nv"),
+        )
+    )
+    # queries are assigned to the CORPUS centroids (not their own k-means)
+    qe = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qa = assign_to_centroids(qe, cents)
+    q = (
+        with_norm(queries, vec_col)
+        .join(qa, queries[id_col] == qa["id"])
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("cell").alias("qcell"),
+            F.col(vec_col).alias("qv"),
+            F.col("_norm").alias("nq"),
+        )
+    )
+    joined = base.join(
+        F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("neighbor") != F.col("query_id"))
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_planes: int = 8,

@@ -289,7 +289,12 @@ class CrawlEngine:
             start_round = head["lineage"].get("round", 0) if head else 0
         out = []
         for r in range(start_round, max_rounds):
-            if self.frontier_t.read().limit(1).count() == 0:
+            head = self.frontier_t.current_snapshot()
+            # manifest row counts (parquet footers) make the empty check
+            # free — no Spark job per round
+            if head is not None and head.get("total_rows", -1) == 0:
+                break
+            if head is None and self.frontier_t.read().limit(1).count() == 0:
                 break
             out.append(self.run_round(r))
         return out

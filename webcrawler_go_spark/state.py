@@ -105,6 +105,18 @@ class SnapshotTable:
         files = list(new_files)
         if mode == "append" and head is not None:
             files = head["files"] + files
+        # per-partition lineage metrics (north rule): row count per data
+        # file straight from the parquet footers — no Spark job needed
+        import pyarrow.parquet as pq
+
+        file_rows = {
+            os.path.basename(f): pq.ParquetFile(f).metadata.num_rows
+            for f in new_files
+        }
+        new_rows = sum(file_rows.values())
+        total_rows = new_rows
+        if mode == "append" and head is not None:
+            total_rows += head.get("total_rows", 0)
         manifest = {
             "snapshot_id": commit_id,
             "sequence": (head["sequence"] + 1) if head else 1,
@@ -113,6 +125,9 @@ class SnapshotTable:
             "mode": mode,
             "files": files,
             "new_files": new_files,
+            "file_rows": file_rows,
+            "new_rows": new_rows,
+            "total_rows": total_rows,
             "lineage": lineage or {},
         }
         tmp = os.path.join(self._manifest_dir, f".{commit_id}.tmp")
