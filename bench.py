@@ -54,7 +54,8 @@ def crawl_throughput(spark, cpus: int) -> tuple[float, int, float]:
             cfg,
             state,
             world=world,
-            salted=True,
+            salted="auto",
+            collect_stats=False,
         )
         t0 = time.perf_counter()
         round_times = []

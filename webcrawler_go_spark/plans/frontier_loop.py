@@ -79,8 +79,10 @@ class CrawlEngine:
         budgets: DataFrame | None = None,
         robots: DataFrame | None = None,
         fetch_backend: str = "synthetic",
-        salted: bool = False,
+        salted: bool | str = "auto",
         bloom_threshold: int = 1_000_000,
+        salt_threshold: int = 200_000,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.config = config
@@ -99,6 +101,8 @@ class CrawlEngine:
         self.budgets = budgets
         self.robots = robots
         self.bloom_threshold = bloom_threshold
+        self.salt_threshold = salt_threshold
+        self.collect_stats = collect_stats
         self.stats: list[RoundStats] = []
 
     # -- seeding ---------------------------------------------------------
@@ -149,12 +153,22 @@ class CrawlEngine:
         if self.robots is not None:
             new = apply_robots(new, self.robots)
 
+        # skew salting engages only when the round is big enough to need
+        # it (manifest row counts make the size check free); below the
+        # threshold the single-phase Window is strictly cheaper
+        fr_head = self.frontier_t.current_snapshot()
+        frontier_rows = fr_head.get("total_rows", 0) if fr_head else 0
+        salted = (
+            self.salted
+            if isinstance(self.salted, bool)
+            else frontier_rows > self.salt_threshold
+        )
         scheduled, overflow = schedule_round(
             new.unionByName(deferred.limit(0)),  # schema guard
             self.budgets,
             current_round=r,
             default_budget=cfg.default_host_budget,
-            salted=self.salted,
+            salted=salted,
         )
         # the fetch happens AT round r regardless of discovery round; the
         # discovery keys ride THROUGH the kernel (no join back needed)
@@ -243,6 +257,18 @@ class CrawlEngine:
                 f_.result()
 
         # --- per-round metrics (A1/A2/A3 in one aggregate) -----------------
+        if not self.collect_stats:
+            # cheap path: scheduled count comes free from the fetch-log
+            # commit manifest (parquet footers); full stats remain
+            # derivable later from the fetch_log table
+            st = RoundStats(
+                round=r,
+                scheduled=self.log_t.current_snapshot()["new_rows"],
+                fetched_ok=0, blocked=0, errors=0, new_documents=0, bytes=0,
+            )
+            self.stats.append(st)
+            fetched.unpersist()
+            return st
         agg = fetched.agg(
             F.count("*").alias("scheduled"),
             F.sum(
