@@ -1,0 +1,71 @@
+"""Property-based invariants (SURVEY §5.2.5) on random frontiers:
+the Spark scheduler must equal a 10-line Python reference on every
+generated input — budgets never exceeded, ranks = sorted order, the
+deferred+scheduled split partitions the input."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcrawler_go_spark.operators.politeness import schedule_round
+
+row = st.tuples(
+    st.integers(0, 3),          # host id
+    st.integers(0, 2),          # round
+    st.integers(0, 20),         # parent_seq
+    st.integers(0, 10),         # link_pos
+    st.integers(0, 2),          # not_before_round
+)
+
+
+@given(st.lists(row, min_size=1, max_size=60, unique=True), st.integers(1, 5))
+@settings(max_examples=12, deadline=None)
+def test_schedule_matches_python_reference(spark, rows, budget):
+    data = [
+        (
+            f"https://h{h}.test/p{i}",
+            f"https://h{h}.test/p{i}",
+            i,
+            f"h{h}.test",
+            f"/p{i}",
+            r,
+            ps,
+            lp,
+            0,
+            nbr,
+        )
+        for i, (h, r, ps, lp, nbr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "url string, url_norm string, url_hash long, host string, path string,"
+        "round int, parent_seq long, link_pos int, attempts int, not_before_round int",
+    )
+    budgets = spark.createDataFrame(
+        [], "host string, max_fetches_per_round int, crawl_delay_ms int"
+    )
+    scheduled, deferred = schedule_round(
+        df, budgets, current_round=2, default_budget=budget
+    )
+    got = {
+        (r.url_norm, r.host_rank) for r in scheduled.select("url_norm", "host_rank").collect()
+    }
+    n_deferred = deferred.count()
+
+    # python reference
+    ready = [d for d in data if d[9] <= 2]
+    by_host: dict[str, list] = {}
+    for d in ready:
+        by_host.setdefault(d[3], []).append(d)
+    expected = set()
+    exp_deferred = len(data) - len(ready)
+    for _host, hrows in by_host.items():
+        hrows.sort(key=lambda d: (d[5], d[6], d[7], d[2]))
+        for rank, d in enumerate(hrows, start=1):
+            if rank <= budget:
+                expected.add((d[1], rank))
+            else:
+                exp_deferred += 1
+    assert got == expected
+    assert n_deferred == exp_deferred
