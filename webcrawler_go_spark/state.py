@@ -140,6 +140,37 @@ class SnapshotTable:
         os.replace(head_tmp, self._head_path)
         return manifest
 
+    # -- maintenance ------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg-style ``expireSnapshots``: drop all but the newest
+        ``keep_last`` manifests and delete data files no surviving
+        snapshot references. Returns the number of files removed. The
+        head snapshot is always kept (resume safety)."""
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        live = {f for m in keep for f in m["files"]}
+        removed = 0
+        for m in drop:
+            for f in m["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    removed += 1
+            os.remove(
+                os.path.join(self._manifest_dir, m["snapshot_id"] + ".json")
+            )
+        # prune now-empty data dirs
+        for d in os.listdir(self.dir):
+            full = os.path.join(self.dir, d)
+            if d.startswith("data-") and os.path.isdir(full) and not os.listdir(full):
+                shutil.rmtree(full)
+        return removed
+
     # -- read -----------------------------------------------------------------
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:
