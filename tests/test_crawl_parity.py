@@ -111,6 +111,33 @@ def test_salted_engine_full_parity(spark, state_dir):
     assert seqs == oracle.sequences
 
 
+def test_alt_entry_points_phase1_parity(spark, state_dir):
+    """Phase-1 semantics (crawler.go:252-264): alt entry points crawl at
+    round 0, the main URL rides the blocked-retry path from round 1 —
+    engine must match the oracle given the same initial frontier."""
+    from webcrawler_go_spark.oracle.sequential import phase1_frontier
+    from webcrawler_go_spark.worldgen import page_url
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=8)
+    start = page_url(0, 0)
+    alts = [page_url(1, 0), page_url(2, 0)]
+    eng = CrawlEngine(spark, cfg, state_dir, world=world)
+    eng.seed_phase1(start, alts)
+    eng.resume(start_round=0, max_rounds=4)
+    oracle = sequential.crawl(
+        world, [], cfg, max_rounds=4, initial_frontier=phase1_frontier(start, alts)
+    )
+    assert {r.url_norm for r in eng.url_seen().collect()} == oracle.seen
+    seqs = {r["host"]: r["fetch_sequence"] for r in eng.per_host_sequences().collect()}
+    assert seqs == oracle.sequences
+    # the main URL was fetched in a later round than the alts
+    start_round = (
+        eng.fetch_log().filter(F.col("url") == start).select("round").collect()[0][0]
+    )
+    assert start_round >= 1
+
+
 def test_salted_rank_equals_unsalted(spark):
     """Two-phase salted politeness ranking must reproduce the single-phase
     Window exactly (SURVEY §4.1 hard part #3)."""

@@ -39,17 +39,45 @@ def _host_of(url: str) -> str:
     return url.split("://", 1)[1].split("/", 1)[0].lower()
 
 
+def phase1_frontier(start_url: str, alt_entry_points: list[str]) -> list[dict]:
+    """Alt-entry-point initial frontier (crawler.go:252-264): alts at
+    round 0, the main URL pre-queued as blocked (attempts=1, nbr=1)."""
+    rows = [
+        {
+            "url": u,
+            "round": 0,
+            "parent_seq": 0,
+            "link_pos": i,
+            "attempts": 0,
+            "not_before_round": 0,
+        }
+        for i, u in enumerate(alt_entry_points)
+    ]
+    rows.append(
+        {
+            "url": start_url,
+            "round": 0,
+            "parent_seq": 0,
+            "link_pos": len(alt_entry_points),
+            "attempts": 1,
+            "not_before_round": 1,
+        }
+    )
+    return rows
+
+
 def crawl(
     world: World,
     seeds: list[dict],
     cfg: CrawlConfig,
     budgets: dict[str, int] | None = None,
     max_rounds: int = 10,
+    initial_frontier: list[dict] | None = None,
 ) -> OracleResult:
     budgets = budgets or {}
     res = OracleResult()
     # frontier rows: (disc_round, parent_seq, link_pos, url, attempts, nbr)
-    frontier = [
+    frontier = initial_frontier or [
         {
             "url": s["url"],
             "round": 0,

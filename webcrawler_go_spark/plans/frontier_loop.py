@@ -126,6 +126,45 @@ class CrawlEngine:
         )
         self.frontier_t.commit(fr, mode="replace", lineage={"round": 0, "op": "seed"})
 
+    def seed_phase1(self, start_url: str, alt_entry_points: list[str]) -> None:
+        """Alt-entry-point mode (crawler.go:252-264): phase 1 crawls the
+        alternative entry points; the main start URL is pre-queued AS IF
+        blocked (attempts=1, eligible from round 1) so it rides the
+        blocked-retry machinery — with whatever per-host state the alt
+        crawl accumulated, exactly the reference's intent."""
+        rows = [(u, 1.0, i) for i, u in enumerate(alt_entry_points)]
+        seeds = self.spark.createDataFrame(
+            rows, "url string, priority double, seq int"
+        )
+        parts = canonicalize_cols(F.col("url"), self.config.ignore_query_params)
+
+        def to_frontier(df, attempts, nbr, pos_offset):
+            return df.select(
+                F.col("url"),
+                parts["url_norm"].alias("url_norm"),
+                F.xxhash64(parts["url_norm"]).alias("url_hash"),
+                parts["host"].alias("host"),
+                parts["path"].alias("path"),
+                F.lit(0).alias("round"),
+                F.lit(0).cast("long").alias("parent_seq"),
+                (F.col("seq") + pos_offset).cast("int").alias("link_pos"),
+                F.lit(attempts).alias("attempts"),
+                F.lit(nbr).alias("not_before_round"),
+            )
+
+        alts = to_frontier(seeds, attempts=0, nbr=0, pos_offset=0)
+        main = to_frontier(
+            self.spark.createDataFrame(
+                [(start_url, 1.0, 0)], "url string, priority double, seq int"
+            ),
+            attempts=1,
+            nbr=1,
+            pos_offset=len(alt_entry_points),
+        )
+        self.frontier_t.commit(
+            alts.unionByName(main), mode="replace", lineage={"round": 0, "op": "seed-phase1"}
+        )
+
     # -- one round --------------------------------------------------------
 
     def run_round(self, r: int) -> RoundStats:
