@@ -267,6 +267,31 @@ def q_politeness_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_host_fetch_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as an ORDER-SENSITIVE artifact: the full per-host fetch
+    sequence joined into one string — puts crawl-order semantics
+    themselves under the driver's value-hash gate."""
+    fr = _frontier(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("round", "parent_seq", "link_pos", "url_norm")
+        )
+    )
+    return fr.groupBy("host").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["url_norm"]), "|"
+        ).alias("fetch_sequence")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 via the pigeonhole block
+    join) — oracle-checked end to end."""
+    from webcrawler_go_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(_dup_docs(spark, sf_dir), max_hamming=1, bits=16)
+
+
 def q_retry_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: data-encoded retry schedule — ready rows at round 3 are those
     with not_before_round ≤ 3; others wait."""
@@ -990,6 +1015,22 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(blobs, use_fake_decoder=True)
 
 
+# bigram shingles for SimHash (unigram features degenerate on the small
+# shared vocabulary — see textdedup.simhash)
+_SHINGLES2_SQL = """
+grams2 AS (
+  SELECT doc_id, token || ' ' || t1 AS shingle
+  FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos1) AS t1
+    FROM tokens
+  )
+  WHERE t1 IS NOT NULL
+),
+sh2 AS (SELECT DISTINCT doc_id, shingle FROM grams2)
+"""
+
+
 def _simhash_oracle_sql(bits: int = 16) -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN ((v.token_id * {2 * k + 3} + {997 * k + 101}) % 1000000007) % 2 = 1 "
@@ -998,17 +1039,41 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
     )
     fp = " + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(bits))
     return f"""
-WITH {_DUP_DOCS_SQL.strip().rstrip()}, {_TOKENS_SQL.strip()},
+WITH {_DUP_DOCS_SQL.strip().rstrip()}, {_TOKENS_SQL.strip()}, {_SHINGLES2_SQL.strip()},
 vocab AS (
-  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
-  FROM (SELECT DISTINCT token FROM tokens)
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT shingle FROM sh2)
 ),
 sums AS (
   SELECT t.doc_id, {sums}
-  FROM tokens t JOIN vocab v USING (token)
+  FROM sh2 t JOIN vocab v USING (shingle)
   GROUP BY t.doc_id
 )
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _simhash_pairs_oracle_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    base = _simhash_oracle_sql(bits).strip()
+    # wrap the fingerprint query as a CTE and do the pigeonhole block join
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blks = ",".join(str(i) for i in range(n_blocks))
+    return f"""
+WITH fp AS ({base})
+, blocks AS (
+  SELECT doc_id, simhash, b.blk,
+         (simhash >> ({block_bits} * b.blk)) % {1 << block_bits} AS blk_val
+  FROM fp, (SELECT unnest([{blks}]) AS blk) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                  a.simhash AS fa, b.simhash AS fb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
 
 
@@ -1116,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "visited_dedup": q_visited_dedup,
         "frontier_union": q_frontier_union,
         "per_host_fetch_order": q_per_host_fetch_order,
+        "per_host_fetch_sequence": q_per_host_fetch_sequence,
         "politeness_budget_topk": q_politeness_budget_topk,
         "retry_backoff_filter": q_retry_backoff_filter,
         "status_histogram": q_status_histogram,
@@ -1152,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,  # rows-only (ANN, iterative k-means)
@@ -1468,6 +1535,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.n_common / (na.n_sh + nb.n_sh - i.n_common) >= 0.5""",
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(16),
+        "dedup_simhash_pairs": _simhash_pairs_oracle_sql(16, 1),
+        "per_host_fetch_sequence": _FRONTIER_SQL + """
+            SELECT host,
+                   string_agg(url_norm, '|'
+                     ORDER BY round, parent_seq, link_pos, url_norm) AS fetch_sequence
+            FROM frontier GROUP BY host""",
         "embedding_cosine_pairs": f"""
             WITH {_QEMB_SQL.strip()},
             dots AS (

@@ -187,13 +187,21 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — sign fingerprint over the token multiset.
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 16, ngram: int = 2
+) -> DataFrame:
+    """(doc_id, simhash) — sign fingerprint over the doc's word-n-gram
+    set (n=2 default: unigram features degenerate on small vocabularies
+    because every doc shares the frequent tokens; bigrams separate).
 
-    bit_k(token) = parity of ((token_id * A_k + B_k) mod P); the doc's
-    bit k is 1 iff more tokens set it than clear it. ``bits`` kept
-    moderate so the whole computation is one explode + one aggregate."""
-    ids = doc_token_ids(docs, text_col)
+    bit_k(feature) = parity of ((feature_id * A_k + B_k) mod P); the
+    doc's bit k is 1 iff more features set it than clear it."""
+    sh = shingles(docs, n=ngram, text_col=text_col)
+    w = Window.orderBy("shingle")
+    vocab = sh.select("shingle").distinct().select(
+        "shingle", F.row_number().over(w).cast("long").alias("token_id")
+    )
+    ids = sh.join(vocab, "shingle").select("doc_id", "token_id")
     bit_exprs = []
     for k in range(bits):
         a = 2 * k + 3
@@ -210,12 +218,16 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", bits: int = 16
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = 16,
+    ngram: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming using the
     pigeonhole block join (d+1 blocks; a pair within distance d agrees on
     ≥1 whole block)."""
-    fp = simhash(docs, text_col, bits)
+    fp = simhash(docs, text_col, bits, ngram)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     blocks = []
