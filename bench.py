@@ -44,9 +44,9 @@ def crawl_throughput(spark, cpus: int) -> tuple[float, int, float]:
     from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
     from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
 
-    world = World(n_hosts=400, pages_per_host=600, max_links=30)
-    cfg = CrawlConfig(max_rounds=6, default_host_budget=4000)
-    seeds = gen_seeds(world, 64)
+    world = World(n_hosts=800, pages_per_host=1500, max_links=30)
+    cfg = CrawlConfig(max_rounds=6, default_host_budget=20000)
+    seeds = gen_seeds(world, 128)
     state = tempfile.mkdtemp(prefix="bench-crawl-")
     try:
         eng = CrawlEngine(
