@@ -1,0 +1,82 @@
+"""Real DOCX extraction (X5) + robots.txt parsing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcrawler_go_spark.functions.robots import parse_robots_txt
+from webcrawler_go_spark.operators.doc_extract import (
+    docx_contains,
+    docx_paragraphs,
+    extract_docx_documents,
+    make_docx,
+)
+from webcrawler_go_spark.operators.politeness import apply_robots
+
+
+def test_docx_paragraph_run_order():
+    payload = make_docx(["First paragraph here", "Second one", "needle inside"])
+    assert docx_paragraphs(payload) == [
+        "First paragraph here",
+        "Second one",
+        "needle inside",
+    ]
+    assert docx_contains(payload, "needle")       # parser/docx.go:25
+    assert not docx_contains(payload, "absent")
+
+
+def test_extract_docx_documents_df(spark):
+    blobs = spark.createDataFrame(
+        [("doc://a", make_docx(["alpha", "beta"])), ("doc://b", make_docx(["gamma"]))],
+        "media_ref string, payload binary",
+    )
+    got = {r.doc_id: [(s.kind, s.text, s.offset) for s in r.spans]
+           for r in extract_docx_documents(blobs).collect()}
+    assert got["doc://a"] == [("text", "alpha", 0), ("text", "beta", 1)]
+    assert got["doc://b"] == [("text", "gamma", 0)]
+
+
+ROBOTS = """
+# comments ignored
+User-agent: *
+Disallow: /private/
+Allow: /private/public/
+
+User-agent: evilbot
+Disallow: /
+
+User-agent: goodbot
+Disallow: /only-for-good/
+"""
+
+
+def test_parse_robots_txt(spark):
+    bodies = spark.createDataFrame([("h.test", ROBOTS)], "host string, body string")
+    rules = {
+        (r.rule, r.path_pfx) for r in parse_robots_txt(bodies).collect()
+    }
+    assert rules == {("deny", "/private/"), ("allow", "/private/public/")}
+    good = {
+        (r.rule, r.path_pfx)
+        for r in parse_robots_txt(bodies, user_agent="goodbot").collect()
+    }
+    assert ("deny", "/only-for-good/") in good
+    assert ("deny", "/") not in good  # evilbot group excluded
+
+
+def test_robots_end_to_end_with_apply(spark):
+    """Parsed rules drive the scheduler filter: longest prefix wins,
+    tie → allow."""
+    bodies = spark.createDataFrame([("h.test", ROBOTS)], "host string, body string")
+    rules = parse_robots_txt(bodies)
+    frontier = spark.createDataFrame(
+        [
+            ("u1", "h.test", "/private/secret", 1),
+            ("u2", "h.test", "/private/public/page", 2),
+            ("u3", "h.test", "/open", 3),
+            ("u4", "other.test", "/private/x", 4),  # host without rules
+        ],
+        "url_norm string, host string, path string, url_hash long",
+    )
+    allowed = {r.url_norm for r in apply_robots(frontier, rules).collect()}
+    assert allowed == {"u2", "u3", "u4"}

@@ -1,0 +1,62 @@
+"""robots.txt parsing → rules dim (north rule: robots enforced in the
+schedule via broadcast-joined allow/deny prefixes).
+
+Pure column ops: split body into lines → explode → extract directives →
+keep Allow/Disallow under the matched User-agent group. Longest-prefix
+matching happens downstream in politeness.apply_robots. Grammar: the
+practical subset (groups by User-agent, Allow/Disallow prefixes, '*'
+agent); unsupported wildcards inside paths are treated literally, empty
+Disallow (allow-all) is dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_txt(
+    bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, body) → (host, rule, path_pfx) for the given user agent.
+
+    A directive belongs to the most recent ``User-agent`` line above it;
+    we keep groups whose agent is '*' or equals ``user_agent``.
+    """
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*$", "")))
+    directives = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract("line", "^([A-Za-z-]+)\\s*:", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", "^[A-Za-z-]+\\s*:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key") != "")
+    # group id = running count of user-agent lines; agent = last UA seen
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = directives.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("key") == "user-agent", F.lower(F.col("value"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        grouped.filter(F.col("key").isin("allow", "disallow"))
+        .filter(F.col("agent").isin("*", user_agent.lower()))
+        .filter(F.col("value") != "")  # empty Disallow = allow-all, no rule
+        .select(
+            "host",
+            F.when(F.col("key") == "allow", "allow").otherwise("deny").alias("rule"),
+            F.col("value").alias("path_pfx"),
+        )
+        .distinct()
+    )

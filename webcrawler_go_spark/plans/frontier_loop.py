@@ -334,8 +334,21 @@ class CrawlEngine:
             bytes=agg["bytes"] or 0,
         )
         self.stats.append(st)
+        self._journal_metrics(st)
         fetched.unpersist()
         return st
+
+    def _journal_metrics(self, st: RoundStats) -> None:
+        """Append the round's metrics to a JSONL journal in the state dir
+        — persisted alongside the snapshot commits (north rule: metrics
+        per commit) with zero extra Spark jobs; resume appends seamlessly."""
+        import dataclasses
+        import json
+        import os
+
+        path = os.path.join(self.frontier_t.root, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(dataclasses.asdict(st)) + "\n")
 
     # -- full crawl --------------------------------------------------------
 
