@@ -55,6 +55,25 @@ def test_bloom_prefilter_never_drops_new(spark):
     assert exact == set(range(1000, 2000))
 
 
+def test_sharded_bloom_matches_monolithic(spark):
+    """Shard routing must be a pure partition of the key space: the
+    sharded prefilter's definitely-new set has no false negatives and
+    the exact result (after anti-join) equals the plain path. Odd shard
+    count exercises the signed-modulo routing."""
+    from webcrawler_go_spark.operators.dedup import bloom_prefilter_sharded
+
+    cand = spark.range(-1000, 1000).select(F.col("id").alias("url_hash"))
+    seen = spark.range(-1000, 0).select(F.col("id").alias("url_hash"))
+    definitely_new, maybe_seen = bloom_prefilter_sharded(cand, seen, n_shards=3, fpp=0.03)
+    new_set = {r.url_hash for r in definitely_new.collect()}
+    assert new_set <= set(range(0, 1000))  # no false negatives
+    assert definitely_new.count() + maybe_seen.count() == 2000
+    exact = definitely_new.unionByName(
+        maybe_seen.join(seen, "url_hash", "left_anti")
+    )
+    assert {r.url_hash for r in exact.collect()} == set(range(0, 1000))
+
+
 def test_empty_seen_passthrough(spark):
     cand = spark.range(5).select(F.col("id").alias("url_hash"))
     seen = spark.createDataFrame([], "url_hash long")

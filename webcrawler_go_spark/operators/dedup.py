@@ -129,6 +129,60 @@ def build_bloom(seen: DataFrame, n_items: int, fpp: float = 0.01) -> NumpyBloom:
     )
 
 
+def build_bloom_sharded(
+    seen: DataFrame, n_items: int, n_shards: int, fpp: float = 0.01
+) -> list[NumpyBloom]:
+    """The 10^10-scale filter: ``pmod(url_hash, n_shards)`` routes each
+    key to a shard-local Bloom, each built distributed and small enough
+    to broadcast on its own (one 12 GB monolith @1% FPP becomes
+    n_shards × manageable). Lookup side mirrors the routing, so each
+    executor only touches the shards its partition's keys hash to."""
+    per_shard = max(64, n_items // n_shards)
+    shards = []
+    for s in range(n_shards):
+        shard_df = seen.filter(F.pmod(F.col("url_hash"), F.lit(n_shards)) == s)
+        shards.append(build_bloom(shard_df, per_shard, fpp))
+    return shards
+
+
+def bloom_prefilter_sharded(
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_shards: int = 4,
+    expected: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """Sharded variant of ``bloom_prefilter`` — identical contract
+    (definitely_new, maybe_seen), shard-routed lookups."""
+    n = expected if expected is not None else seen.count()
+    if n == 0:
+        return candidates, candidates.limit(0)
+    shards = build_bloom_sharded(seen, max(n, 64), n_shards, fpp)
+    b = candidates.sparkSession.sparkContext.broadcast(shards)
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vals = h.to_numpy()
+        # np.mod on signed int64 is non-negative for a positive divisor —
+        # exactly Spark's pmod, so routing matches the build side for any
+        # shard count (a uint64 view would diverge on non-power-of-2)
+        route = np.mod(np.asarray(vals, dtype=np.int64), len(b.value))
+        out = np.zeros(len(vals), dtype=bool)
+        for s, bf in enumerate(b.value):
+            m = route == s
+            if m.any():
+                out[m] = bf.contains_many(vals[m])
+        return pd.Series(out)
+
+    flagged = candidates.withColumn("_maybe_seen", might_contain(F.col("url_hash")))
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     seen: DataFrame,
