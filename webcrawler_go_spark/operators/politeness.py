@@ -141,6 +141,23 @@ def schedule_round(
     return scheduled, deferred
 
 
+def budgets_from_delay(
+    budgets: DataFrame, round_window_s: int = 60
+) -> DataFrame:
+    """Derive per-round fetch budgets from politeness delays: the
+    reference sleeps crawl_delay_ms between links (crawler.go:989), i.e.
+    at most round_window/delay fetches per host per round. The effective
+    budget is the stricter of the explicit cap and the delay-implied
+    rate, so both knobs of the politeness_budget dim are honored."""
+    implied = F.floor(
+        F.lit(round_window_s * 1000) / F.greatest(F.col("crawl_delay_ms"), F.lit(1))
+    ).cast("int")
+    return budgets.withColumn(
+        "max_fetches_per_round",
+        F.least(F.col("max_fetches_per_round"), F.greatest(implied, F.lit(1))),
+    )
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Robots allow/deny longest-prefix-match (FIXTURES.md §6; tie→allow).
 
