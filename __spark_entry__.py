@@ -514,6 +514,30 @@ def q_bot_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bot_protection_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: conjunctive challenge-page detection (sitemap.go:290-329) —
+    ALL substrings of a pattern must match; CDN name alone must NOT fire;
+    short-page heuristic (<2000 chars) included."""
+    from webcrawler_go_spark.functions.classify import sitemap_bot_protection
+
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("checking your browser ... please wait — "), F.col("text")),
+        )
+        .when(F.col("doc_id") % 11 == 1, F.lit("short: checking your browser"))
+        .when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(F.lit("protected by Cloudflare — "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id", sitemap_bot_protection(body).alias("is_challenge")
+    )
+
+
 def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: case-sensitive substring search over document text
     (crawler.go:822-827) — search mode's match predicate."""
@@ -1170,6 +1194,35 @@ WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6
 """
 
 
+def _sitemap_bot_oracle_sql() -> str:
+    from webcrawler_go_spark.functions.classify import (
+        SITEMAP_CHALLENGE_PATTERNS,
+        SITEMAP_SHORT_PAGE_INDICATORS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"  # "you don't have permission"
+
+    conj = " OR ".join(
+        "(" + " AND ".join(f"contains(lower(body), {lit(s)})" for s in pat) + ")"
+        for pat in SITEMAP_CHALLENGE_PATTERNS
+    )
+    short = " OR ".join(
+        f"contains(lower(body), {lit(s)})" for s in SITEMAP_SHORT_PAGE_INDICATORS
+    )
+    return f"""
+        SELECT doc_id, ({conj}) OR (length(body) < 2000 AND ({short})) AS is_challenge
+        FROM (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 11 = 0
+                       THEN 'checking your browser ... please wait — ' || text
+                       WHEN doc_id % 11 = 1 THEN 'short: checking your browser'
+                       WHEN doc_id % 11 = 2 THEN 'protected by Cloudflare — ' || text
+                       ELSE text END) AS body
+          FROM documents
+        )"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1197,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_dispatch": q_content_type_dispatch,
         "image_size_threshold": q_image_size_threshold,
         "bot_protection": q_bot_protection,
+        "bot_protection_sitemap": q_bot_protection_sitemap,
         "substring_search": q_substring_search,
         "pagination_synthesis": q_pagination_synthesis,
         "archive_url_generation": q_archive_url_generation,
@@ -1378,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
                            ELSE text END) AS body
               FROM documents
             )""",
+        "bot_protection_sitemap": _sitemap_bot_oracle_sql(),
         "substring_search": """
             SELECT doc_id, n_chars FROM documents WHERE contains(text, 'spark')""",
         "pagination_synthesis": CANON_SQL + """
