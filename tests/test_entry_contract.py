@@ -35,6 +35,16 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+def test_oracle_keys_subset_and_parseable(con):
+    """Every oracle key must name a registered query, and every oracle
+    SQL must at least parse in DuckDB (EXPLAIN, no execution)."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    for name, sql in oracles.items():
+        con.sql("EXPLAIN " + sql)  # raises on parse/bind errors
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(spark, con, name):
     fn = entry_mod.queries()[name]
