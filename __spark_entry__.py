@@ -940,6 +940,28 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
 
 
+def q_dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup over documents: embeddings join
+    documents on id, pairs with quantized cosine ≥ τ are duplicates,
+    canonical = min(doc_id, neighbors). One-pass canonicalization (the
+    full transitive closure is an iterative driver loop at scale)."""
+    from webcrawler_go_spark.operators.similarity import cosine_pairs_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = cosine_pairs_quantized(emb, threshold=0.5, scale=1000)
+    neighbors = pairs.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("nbr")
+    ).unionByName(pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("nbr")))
+    best = neighbors.groupBy("doc_id").agg(F.min("nbr").alias("min_nbr"))
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce(F.col("min_nbr"), F.col("doc_id"))).alias(
+            "canonical_id"
+        ),
+    )
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only): coarse k-means cells + per-cell top-k — the
     partition-pruning scale path; recall asserted on separable clusters
@@ -1282,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,  # rows-only (ANN, iterative k-means)
+        "dedup_embedding_semantic": q_dedup_embedding_semantic,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
@@ -1614,6 +1637,27 @@ def oracle_sql() -> dict[str, str]:
             FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
             WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
         "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
+        "dedup_embedding_semantic": f"""
+            WITH {_QEMB_SQL.strip()},
+            dots AS (
+              SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
+              FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a, b FROM dots
+              JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+              WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.5
+            ),
+            neighbors AS (
+              SELECT a AS doc_id, b AS nbr FROM pairs
+              UNION ALL
+              SELECT b AS doc_id, a AS nbr FROM pairs
+            ),
+            best AS (SELECT doc_id, MIN(nbr) AS min_nbr FROM neighbors GROUP BY doc_id)
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(best.min_nbr, d.doc_id)) AS canonical_id
+            FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id""",
         "text_quality": """
             SELECT doc_id,
                    n_chars_m, n_tokens, n_punct,
