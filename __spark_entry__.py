@@ -378,10 +378,16 @@ def q_derived_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _status_col(F.col("k")).alias("status"),
         _bytes_col(F.col("k")).alias("bytes"),
     ).filter(F.col("status") == 200)
+    # Integer division (DIV) on both sides — a float ROUND here straddles
+    # Spark HALF_UP vs DuckDB rounding and double-formatting differences,
+    # which is exactly the kind of boundary that broke the round-1 hash.
     return log.agg(
         F.count("*").alias("pages"),
         F.sum("bytes").alias("bytes_total"),
-        F.round(F.sum("bytes") / F.count("*"), 2).alias("avg_page_bytes"),
+    ).select(
+        "pages",
+        "bytes_total",
+        F.expr("bytes_total DIV pages").alias("avg_page_bytes"),
     )
 
 
@@ -1384,22 +1390,22 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1""",
         "global_counters": CANON_SQL + f"""
             SELECT COUNT(*) AS pages_checked,
-                   SUM({_BYTES_SQL}) AS bytes_downloaded,
-                   SUM(CASE WHEN {_STATUS_SQL} >= 200 AND {_STATUS_SQL} < 300 THEN 1 ELSE 0 END) AS status_2xx,
-                   SUM(CASE WHEN {_STATUS_SQL} >= 300 AND {_STATUS_SQL} < 400 THEN 1 ELSE 0 END) AS status_3xx,
-                   SUM(CASE WHEN {_STATUS_SQL} >= 400 AND {_STATUS_SQL} < 500 THEN 1 ELSE 0 END) AS status_4xx,
-                   SUM(CASE WHEN {_STATUS_SQL} >= 500 THEN 1 ELSE 0 END) AS status_5xx,
-                   SUM(CASE WHEN {_STATUS_SQL} IN (403,503,429) THEN 1 ELSE 0 END) AS blocked_count
+                   CAST(SUM({_BYTES_SQL}) AS BIGINT) AS bytes_downloaded,
+                   CAST(SUM(CASE WHEN {_STATUS_SQL} >= 200 AND {_STATUS_SQL} < 300 THEN 1 ELSE 0 END) AS BIGINT) AS status_2xx,
+                   CAST(SUM(CASE WHEN {_STATUS_SQL} >= 300 AND {_STATUS_SQL} < 400 THEN 1 ELSE 0 END) AS BIGINT) AS status_3xx,
+                   CAST(SUM(CASE WHEN {_STATUS_SQL} >= 400 AND {_STATUS_SQL} < 500 THEN 1 ELSE 0 END) AS BIGINT) AS status_4xx,
+                   CAST(SUM(CASE WHEN {_STATUS_SQL} >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS status_5xx,
+                   CAST(SUM(CASE WHEN {_STATUS_SQL} IN (403,503,429) THEN 1 ELSE 0 END) AS BIGINT) AS blocked_count
             FROM canon""",
         "derived_rates": CANON_SQL + f"""
             SELECT COUNT(*) AS pages,
-                   SUM({_BYTES_SQL}) AS bytes_total,
-                   ROUND(SUM({_BYTES_SQL}) / COUNT(*), 2) AS avg_page_bytes
+                   CAST(SUM({_BYTES_SQL}) AS BIGINT) AS bytes_total,
+                   CAST(SUM({_BYTES_SQL}) // COUNT(*) AS BIGINT) AS avg_page_bytes
             FROM canon WHERE {_STATUS_SQL} = 200""",
         "same_host_filter": """
             SELECT 'host-' || lpad(CAST(l_suppkey % 7 AS VARCHAR), 4, '0') || '.test' AS page_host,
-                   SUM(CASE WHEN l_partkey % 7 = l_suppkey % 7 THEN 1 ELSE 0 END) AS internal_links,
-                   SUM(CASE WHEN l_partkey % 7 <> l_suppkey % 7 THEN 1 ELSE 0 END) AS skipped_external
+                   CAST(SUM(CASE WHEN l_partkey % 7 = l_suppkey % 7 THEN 1 ELSE 0 END) AS BIGINT) AS internal_links,
+                   CAST(SUM(CASE WHEN l_partkey % 7 <> l_suppkey % 7 THEN 1 ELSE 0 END) AS BIGINT) AS skipped_external
             FROM lineitem GROUP BY 1""",
         "scheme_filter": CANON_SQL + """
             SELECT k, href FROM (
@@ -1697,7 +1703,8 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT DISTINCT token FROM tokens)
             )
             SELECT t.doc_id,
-                   SUM(((v.token_id * 1000003) % 1000000007) * t.pos1) % 1000000007 AS fingerprint
+                   CAST(SUM((((v.token_id * 1000003) % 1000000007) * t.pos1) % 1000000007)
+                        % 1000000007 AS BIGINT) AS fingerprint
             FROM tokens t JOIN vocab v USING (token)
             GROUP BY t.doc_id""",
         "events_window_agg": """

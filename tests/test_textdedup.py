@@ -55,3 +55,49 @@ def test_simhash_hamming(spark):
     assert fp[1] == fp[2]                # identical text → identical fingerprint
     near = {(r.a, r.b): r.hamming for r in simhash_near_pairs(_docs(spark), max_hamming=3, bits=16).collect()}
     assert near[(1, 2)] == 0
+
+
+def test_global_row_number_exact_and_distributed(spark):
+    """rank.global_row_number == single-phase Window row_number, with no
+    single-partition exchange anywhere in the physical plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.rank import global_row_number
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("tok-"), F.lpad((F.col("id") * 37 % 4001).cast("string"), 6, "0")).alias("token")
+    ).distinct()
+    got = global_row_number(df, ["token"], out_col="rid", n_parts=8)
+    want = df.select("token", F.row_number().over(Window.orderBy("token")).cast("long").alias("rid"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # scale property: the ranked data never funnels through one task —
+    # no single-partition exchange anywhere, and the one Window in the
+    # plan is partitioned (by _pid). Output partition COUNT is left to
+    # AQE (it legitimately coalesces this tiny test result to 1).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "_pid" in plan
+
+
+def test_exact_duplicates_survives_digest_collision(spark):
+    """Two DISTINCT texts forced into one digest bucket must stay separate
+    groups (the text itself is part of the grouping key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    # force every row into the same 'digest' by replicating the operator
+    # body with a constant digest column — collision worst case
+    got = {
+        r.doc_id: r.canonical_id
+        for r in docs.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.lit(0), F.col("text")))
+            .alias("canonical_id"),
+        ).collect()
+    }
+    assert got == {1: 1, 3: 1, 2: 2}

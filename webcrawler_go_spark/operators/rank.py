@@ -1,0 +1,64 @@
+"""Exact distributed global row_number — no single-partition Window.
+
+``Window.orderBy(key)`` with no partitionBy funnels the ENTIRE input
+through one task: the canonical Spark scale-killer. This module provides
+the global (un-keyed) variant of the two-phase salted rank already proven
+in ``politeness.rank_per_host_salted`` (same algorithm, host dropped):
+
+1. ``repartitionByRange(n_parts, *key)`` — Spark samples range
+   boundaries, so rows land in partitions that tile the key space in
+   partition-id order (skewed key runs are split across partitions);
+2. local ``row_number`` within each partition ordered by the full key —
+   partitions are key ranges, so local order = global order in the tile;
+3. exact per-partition counts → cumulative offsets by partition id
+   (tiny aggregate, broadcast back);
+4. global rank = offset + local rank.
+
+Exactness argument mirrors politeness.py:41-88 and is asserted against
+the single-phase Window in tests/test_textdedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact global 1-based row_number over ``order_cols``, distributed.
+
+    Requires the order key to be a total order over ``df``'s rows (ties
+    across partition boundaries would make the rank ambiguous — exactly
+    as with the single-phase Window)."""
+    key = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(n_parts, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Pin ONE evaluation of the range exchange: the local-rank branch and
+    # the counts branch must observe the same sampled range boundaries.
+    d = d.localCheckpoint(eager=True)
+    w_local = Window.partitionBy("_pid").orderBy(*key)
+    d = d.withColumn("_lr", F.row_number().over(w_local))
+    # Per-partition counts are metadata-scale (exactly n_parts rows):
+    # compute cumulative offsets on the driver — like AQE stats — so the
+    # plan contains NO Exchange SinglePartition at all (asserted in
+    # tests); the data itself never converges to one task.
+    counts = dict(
+        d.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    running, offsets = 0, []
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "`_pid` int, `_off` long")
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )

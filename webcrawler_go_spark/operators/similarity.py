@@ -205,11 +205,14 @@ def ivf_assign(
     from pyspark.sql import Window
 
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Seed rows = n_cells lowest ids via sort+limit: Spark plans this as
+    # TakeOrderedAndProject (distributed per-partition top-K, merged on
+    # the driver) — not a single-partition Window over the whole corpus.
+    # The Window below runs on the already-limited n_cells rows only.
+    seeds = e.orderBy("id").limit(n_cells)
     w = Window.orderBy("id")
-    cents = (
-        e.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
-        .select((F.col("_r") - 1).alias("cell"), F.col("v").alias("centroid"))
+    cents = seeds.withColumn("_r", F.row_number().over(w)).select(
+        (F.col("_r") - 1).alias("cell"), F.col("v").alias("centroid")
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
@@ -315,16 +318,20 @@ def lsh_candidate_pairs(
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    # integer accumulator for the quantized path, double for floats —
+    # seeding F.aggregate with a bigint zero over double elements is an
+    # AnalysisException (the round-1 scale=None bug).
+    dot = _qdot if scale else _dot
     q = emb.select(
         F.col(id_col).alias("id"),
         (quantized(F.col(vec_col), scale) if scale else F.col(vec_col)).alias("q"),
         sig.alias("bucket"),
     )
-    q = q.withColumn("n2", _qdot(F.col("q"), F.col("q")))
+    q = q.withColumn("n2", dot(F.col("q"), F.col("q")))
     a = q.select(F.col("id").alias("a"), "bucket", F.col("q").alias("qa"), F.col("n2").alias("n2a"))
     b = q.select(F.col("id").alias("b"), "bucket", F.col("q").alias("qb"), F.col("n2").alias("n2b"))
     cand = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
-    cos = _qdot(F.col("qa"), F.col("qb")) / (
+    cos = dot(F.col("qa"), F.col("qb")) / (
         F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
     )
     return (

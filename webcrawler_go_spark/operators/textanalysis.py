@@ -109,7 +109,12 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from webcrawler_go_spark.operators.textdedup import doc_token_ids
 
     ids = doc_token_ids(docs, text_col)
-    term = ((F.col("token_id") * F.lit(FP_A)) % F.lit(FP_P)) * (F.col("pos") + 1)
+    # Mod each term INSIDE the sum: every summand is < P (~1e9), so the
+    # int64 accumulator only overflows past ~9e9 tokens per doc — versus
+    # the unbounded pos-weighted raw terms, which silently wrap int64 on
+    # long documents in Spark's non-ANSI mode while DuckDB's HUGEINT does
+    # not (the round-1 hash-mismatch cause).
+    term = (((F.col("token_id") * F.lit(FP_A)) % F.lit(FP_P)) * (F.col("pos") + 1)) % F.lit(FP_P)
     return (
         ids.groupBy("doc_id")
         .agg((F.sum(term) % F.lit(FP_P)).alias("fingerprint"))

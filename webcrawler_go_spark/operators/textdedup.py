@@ -43,12 +43,18 @@ MINHASH_COEFFS = [
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: digest-groupBy; returns (doc_id, canonical_id) for
-    every doc, canonical = min doc_id of its text group."""
+    """Exact dedup: returns (doc_id, canonical_id) for every doc,
+    canonical = min doc_id of its text group.
+
+    The partition key is (xxhash64(text), text): the 64-bit digest is
+    only a cheap shuffle-key prefix — the text itself is part of the key,
+    so two distinct texts that collide on the digest (statistically
+    certain at 10^10 docs) still form separate groups. Hash-only grouping
+    was the round-1 correctness gap."""
     return docs.select(
         "doc_id",
         F.min("doc_id")
-        .over(Window.partitionBy(F.xxhash64(F.col(text_col))))
+        .over(Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)))
         .alias("canonical_id"),
     )
 
@@ -63,10 +69,15 @@ def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_vocab(tokens: DataFrame) -> DataFrame:
     """Deterministic dense token ids: rank over the sorted distinct
-    vocabulary (portable to ANSI SQL, unlike engine hash functions)."""
-    w = Window.orderBy("token")
-    return tokens.select("token").distinct().select(
-        "token", F.row_number().over(w).cast("long").alias("token_id")
+    vocabulary (portable to ANSI SQL, unlike engine hash functions).
+
+    Ranked with the two-phase distributed row_number (rank.py) — a bare
+    ``Window.orderBy`` would pull the whole distinct vocabulary through
+    ONE task, which dies at 100 TB corpora."""
+    from webcrawler_go_spark.operators.rank import global_row_number
+
+    return global_row_number(
+        tokens.select("token").distinct(), ["token"], out_col="token_id"
     )
 
 
@@ -138,10 +149,11 @@ def minhash_signatures(
 
     Permutation-free MinHash: one narrow aggregate per hash, all
     JVM-side; shingle ids from the deterministic vocabulary."""
+    from webcrawler_go_spark.operators.rank import global_row_number
+
     sh = shingles(docs, n, text_col)
-    w = Window.orderBy("shingle")
-    vocab = sh.select("shingle").distinct().select(
-        "shingle", F.row_number().over(w).cast("long").alias("sid")
+    vocab = global_row_number(
+        sh.select("shingle").distinct(), ["shingle"], out_col="sid"
     )
     ids = sh.join(vocab, "shingle").select("doc_id", "sid")
     aggs = [
@@ -196,10 +208,11 @@ def simhash(
 
     bit_k(feature) = parity of ((feature_id * A_k + B_k) mod P); the
     doc's bit k is 1 iff more features set it than clear it."""
+    from webcrawler_go_spark.operators.rank import global_row_number
+
     sh = shingles(docs, n=ngram, text_col=text_col)
-    w = Window.orderBy("shingle")
-    vocab = sh.select("shingle").distinct().select(
-        "shingle", F.row_number().over(w).cast("long").alias("token_id")
+    vocab = global_row_number(
+        sh.select("shingle").distinct(), ["shingle"], out_col="token_id"
     )
     ids = sh.join(vocab, "shingle").select("doc_id", "token_id")
     bit_exprs = []
