@@ -1800,12 +1800,12 @@ def entry(spark: SparkSession) -> DataFrame:
     seen = (
         canon_corpus(spark, sf)
         .filter(F.col("k") % 3 == 0)
-        .select(F.xxhash64("url_norm").alias("url_hash"))
+        .select(F.xxhash64("url_norm").alias("url_hash"), "url_norm")
         .distinct()
     )
     from webcrawler_go_spark.operators.dedup import dedup_against_seen
 
-    new = dedup_against_seen(fr.dropDuplicates(["url_hash"]), seen)
+    new = dedup_against_seen(fr.dropDuplicates(["url_hash", "url_norm"]), seen)
     w = Window.partitionBy("host").orderBy(
         "round", "parent_seq", "link_pos", "url_hash"
     )

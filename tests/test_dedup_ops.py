@@ -14,7 +14,7 @@ from webcrawler_go_spark.operators.dedup import (
 
 def _frontier(spark):
     rows = [
-        # url_hash, url, round, parent_seq, link_pos
+        # url_hash, url_norm, round, parent_seq, link_pos
         (1, "a", 1, 10, 3),
         (1, "a", 0, 99, 9),   # earlier round wins
         (1, "a", 0, 99, 2),   # same round+parent, earlier link_pos wins
@@ -22,7 +22,7 @@ def _frontier(spark):
         (3, "c", 0, 0, 0),
     ]
     return spark.createDataFrame(
-        rows, "url_hash long, url string, round int, parent_seq long, link_pos int"
+        rows, "url_hash long, url_norm string, round int, parent_seq long, link_pos int"
     )
 
 
@@ -36,16 +36,31 @@ def test_first_discovery_wins(spark):
 
 def test_anti_join_dedup(spark):
     cand = _frontier(spark)
-    seen = spark.createDataFrame([(1,), (99,)], "url_hash long")
+    seen = spark.createDataFrame([(1, "a"), (99, "zz")], "url_hash long, url_norm string")
     got = {r.url_hash for r in dedup_against_seen(first_discovery(cand), seen).collect()}
     assert got == {2, 3}
+
+
+def test_anti_join_dedup_hash_collision(spark):
+    """A seen entry with the SAME hash but a DIFFERENT url_norm must NOT
+    swallow the candidate — the string is part of the exact key."""
+    cand = spark.createDataFrame(
+        [(1, "a", 0, 0, 0)],
+        "url_hash long, url_norm string, round int, parent_seq long, link_pos int",
+    )
+    seen = spark.createDataFrame([(1, "collides")], "url_hash long, url_norm string")
+    assert dedup_against_seen(cand, seen).count() == 1
 
 
 def test_bloom_prefilter_never_drops_new(spark):
     """FPP affects performance only: Bloom may pass stale URLs through
     (caught by the anti-join) but must NEVER drop unseen ones."""
-    cand = spark.range(0, 2000).select(F.col("id").alias("url_hash"))
-    seen = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
+    cand = spark.range(0, 2000).select(
+        F.col("id").alias("url_hash"), F.col("id").cast("string").alias("url_norm")
+    )
+    seen = spark.range(0, 1000).select(
+        F.col("id").alias("url_hash"), F.col("id").cast("string").alias("url_norm")
+    )
     definitely_new, maybe_seen = bloom_prefilter(cand, seen, fpp=0.05)
     new_set = {r.url_hash for r in definitely_new.collect()}
     assert new_set <= set(range(1000, 2000))  # no false negatives
@@ -75,6 +90,8 @@ def test_sharded_bloom_matches_monolithic(spark):
 
 
 def test_empty_seen_passthrough(spark):
-    cand = spark.range(5).select(F.col("id").alias("url_hash"))
-    seen = spark.createDataFrame([], "url_hash long")
+    cand = spark.range(5).select(
+        F.col("id").alias("url_hash"), F.col("id").cast("string").alias("url_norm")
+    )
+    seen = spark.createDataFrame([], "url_hash long, url_norm string")
     assert dedup_against_seen(cand, seen, use_bloom=True).count() == 5

@@ -60,8 +60,24 @@ def test_parse_robots_txt(spark):
         (r.rule, r.path_pfx)
         for r in parse_robots_txt(bodies, user_agent="goodbot").collect()
     }
-    assert ("deny", "/only-for-good/") in good
-    assert ("deny", "/") not in good  # evilbot group excluded
+    # RFC 9309 §2.2.1: the specific group REPLACES '*' — goodbot gets
+    # only its own rules, not evilbot's and not the '*' group's
+    assert good == {("deny", "/only-for-good/")}
+
+
+def test_robots_star_applies_only_without_specific_group(spark):
+    """'*' rules apply on hosts with no exact-agent group; hosts with one
+    use it exclusively."""
+    both = "User-agent: *\nDisallow: /a/\n\nUser-agent: mybot\nDisallow: /b/\n"
+    star_only = "User-agent: *\nDisallow: /c/\n"
+    bodies = spark.createDataFrame(
+        [("h1.test", both), ("h2.test", star_only)], "host string, body string"
+    )
+    rules = {
+        (r.host, r.rule, r.path_pfx)
+        for r in parse_robots_txt(bodies, user_agent="mybot").collect()
+    }
+    assert rules == {("h1.test", "deny", "/b/"), ("h2.test", "deny", "/c/")}
 
 
 def test_robots_end_to_end_with_apply(spark):

@@ -129,3 +129,43 @@ def test_feed_capture_frontier(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "https://base.test/posts/1"
     assert rows[0]["captured_file"] == "big-news-spark"
+
+
+def test_frontier_foreach_batch_folds_every_seed_batch(spark, state_dir, tmp_path):
+    """Two seed micro-batches: the second (and every later) batch must be
+    folded into the live frontier, not silently discarded — each batch's
+    seed URL ends up fetched/seen."""
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.streaming.frontier_stream import (
+        run_frontier_foreach_batch,
+    )
+
+    world = World(n_hosts=4, pages_per_host=30)
+    eng = CrawlEngine(
+        spark, CrawlConfig(max_rounds=8, default_host_budget=10), state_dir,
+        world=world,
+    )
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    s1 = "https://host-0000.test/page/0"
+    s2 = "https://host-0002.test/page/5"
+    schema = "url string, priority double, seq int"
+    spark.createDataFrame([(s1, 1.0, 0)], schema).write.parquet(
+        str(seeds_dir / "b1")
+    )
+    spark.createDataFrame([(s2, 1.0, 0)], schema).write.parquet(
+        str(seeds_dir / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(seeds_dir) + "/*")
+    )
+    q = run_frontier_foreach_batch(
+        eng, stream, str(tmp_path / "ckpt"), max_rounds_per_batch=1
+    )
+    q.awaitTermination(120)
+    seen = {r.url_norm for r in eng.url_seen().collect()}
+    assert any(s1.replace("https://", "") in u or s1 in u for u in seen) or s1 in seen
+    assert any(s2.replace("https://", "") in u or s2 in u for u in seen) or s2 in seen

@@ -23,8 +23,11 @@ def parse_robots_txt(
 ) -> DataFrame:
     """(host, body) → (host, rule, path_pfx) for the given user agent.
 
-    A directive belongs to the most recent ``User-agent`` line above it;
-    we keep groups whose agent is '*' or equals ``user_agent``.
+    A directive belongs to the most recent ``User-agent`` line above it.
+    Group selection follows the standard (RFC 9309 §2.2.1): the MOST
+    SPECIFIC matching group wins — when a host has a group naming
+    ``user_agent`` exactly, the '*' group's rules are ignored for that
+    host; '*' applies only where no specific group exists.
     """
     lines = bodies.select(
         F.col(host_col).alias("host"),
@@ -49,10 +52,22 @@ def parse_robots_txt(
             ignorenulls=True,
         ).over(w),
     )
+    ua = user_agent.lower()
+    rules = grouped.filter(F.col("key").isin("allow", "disallow")).filter(
+        F.col("agent").isin("*", ua)
+    )
+    # most-specific group wins: per host, if ANY rule comes from the
+    # exact-agent group, the '*' group is dropped entirely for that host
+    w_host = Window.partitionBy("host")
+    rules = rules.withColumn(
+        "_has_specific",
+        F.max(F.when(F.col("agent") == ua, 1).otherwise(0)).over(w_host),
+    ).filter(
+        (F.col("agent") == ua)
+        | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))
+    )
     return (
-        grouped.filter(F.col("key").isin("allow", "disallow"))
-        .filter(F.col("agent").isin("*", user_agent.lower()))
-        .filter(F.col("value") != "")  # empty Disallow = allow-all, no rule
+        rules.filter(F.col("value") != "")  # empty Disallow = allow-all, no rule
         .select(
             "host",
             F.when(F.col("key") == "allow", "allow").otherwise("deny").alias("rule"),

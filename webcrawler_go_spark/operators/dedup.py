@@ -38,15 +38,20 @@ CRAWL_ORDER_KEY = ["round", "parent_seq", "link_pos"]
 def first_discovery(frontier: DataFrame) -> DataFrame:
     """Within-round dedup: first discovery wins (LoadOrStore semantics).
 
-    row_number over url_hash ordered by the crawl-order key, keep rank 1.
-    Measured ~25% faster than the min_by(struct) formulation (struct
-    extrema force SortAggregate; the Window sorts once within the same
-    exchange), and the url_hash shuffle it introduces is reused by the
-    downstream anti-join.
+    row_number over (url_hash, url_norm) ordered by the crawl-order key,
+    keep rank 1. Measured ~25% faster than the min_by(struct) formulation
+    (struct extrema force SortAggregate; the Window sorts once within the
+    same exchange), and the url_hash shuffle it introduces is reused by
+    the downstream anti-join.
+
+    The key is (url_hash, url_norm), not the hash alone: the 64-bit hash
+    is a shuffle-key prefix, the string keeps LoadOrStore exactness — at
+    10^10 URLs a hash-only key silently merges ~3 colliding distinct URLs
+    (reference semantics are exact-string, crawler.go visited map).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url_hash").orderBy(
+    w = Window.partitionBy("url_hash", "url_norm").orderBy(
         *[F.col(c) for c in CRAWL_ORDER_KEY]
     )
     return (
@@ -220,14 +225,18 @@ def dedup_against_seen(
     seen_count: int | None = None,
     fpp: float = 0.01,
 ) -> DataFrame:
-    """J1: drop candidates whose url_hash is already in the seen set.
+    """J1: drop candidates already in the seen set.
 
-    Exactness comes from the left_anti join; the Bloom stage routes
+    Exactness comes from the left_anti join on (url_hash, url_norm) —
+    the hash is only a cheap join-key prefix; the string keeps the
+    reference's exact-string visited semantics under 64-bit collisions.
+    The Bloom stage (hash-only, no false negatives) routes
     definitely-new rows around the shuffle (off by default in local
     tests where the broadcast outweighs the prune).
     """
+    key = ["url_hash", "url_norm"]
     if not use_bloom:
-        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return candidates.join(seen.select(*key), key, "left_anti")
     definitely_new, maybe_seen = bloom_prefilter(candidates, seen, seen_count, fpp)
-    checked = maybe_seen.join(seen.select("url_hash"), "url_hash", "left_anti")
+    checked = maybe_seen.join(seen.select(*key), key, "left_anti")
     return definitely_new.unionByName(checked)

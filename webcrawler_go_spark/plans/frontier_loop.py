@@ -107,10 +107,17 @@ class CrawlEngine:
 
     # -- seeding ---------------------------------------------------------
 
-    def seed(self, seeds: DataFrame) -> None:
-        """seeds(url, priority, seq) → round-0 frontier (S1). Seed-list
+    def seed(
+        self, seeds: DataFrame, mode: str = "replace", at_round: int = 0
+    ) -> None:
+        """seeds(url, priority, seq) → frontier rows (S1). Seed-list
         position is the crawl-order tiebreak at round 0 (FIXTURES §2):
-        parent_seq=0, link_pos=seed seq."""
+        parent_seq=0, link_pos=seed seq.
+
+        ``mode="append"``/``at_round`` fold LATE seed batches into a live
+        frontier (the streaming host delivers seeds per micro-batch):
+        rows enter at ``at_round`` and dedup against url_seen naturally
+        on the next round's anti-join."""
         parts = canonicalize_cols(F.col("url"), self.config.ignore_query_params)
         fr = seeds.select(
             F.col("url"),
@@ -118,13 +125,15 @@ class CrawlEngine:
             F.xxhash64(parts["url_norm"]).alias("url_hash"),
             parts["host"].alias("host"),
             parts["path"].alias("path"),
-            F.lit(0).alias("round"),
+            F.lit(at_round).alias("round"),
             F.lit(0).cast("long").alias("parent_seq"),
             F.col("seq").cast("int").alias("link_pos"),
             F.lit(0).alias("attempts"),
-            F.lit(0).alias("not_before_round"),
+            F.lit(at_round).alias("not_before_round"),
         )
-        self.frontier_t.commit(fr, mode="replace", lineage={"round": 0, "op": "seed"})
+        self.frontier_t.commit(
+            fr, mode=mode, lineage={"round": at_round, "op": "seed"}
+        )
 
     def seed_phase1(self, start_url: str, alt_entry_points: list[str]) -> None:
         """Alt-entry-point mode (crawler.go:252-264): phase 1 crawls the
@@ -179,9 +188,12 @@ class CrawlEngine:
         # retried rows (attempts>0) were deliberately removed from seen —
         # the anti-join naturally lets them through. The Bloom pre-filter
         # pays off once the seen set dwarfs the per-round frontier; the
-        # running fetched total (from committed round stats) estimates it
-        # without an extra count job.
-        seen_estimate = sum(s.scheduled for s in self.stats)
+        # committed snapshot's manifest row count estimates it for free
+        # AND survives resume() in a new process (in-memory self.stats is
+        # empty there, which used to disable/undersize the filter on
+        # exactly the large resumed crawls it targets).
+        seen_head = self.seen_t.current_snapshot()
+        seen_estimate = seen_head.get("total_rows", 0) if seen_head else 0
         new = dedup_against_seen(
             unique,
             seen,

@@ -148,7 +148,11 @@ def run_frontier_foreach_batch(
             engine.seed(batch_df)
             start = 0
         else:
+            # EVERY micro-batch folds into the frontier — late seed
+            # batches append at the current round (dedup against
+            # url_seen happens naturally at the next round's anti-join)
             start = head["lineage"].get("round", 0)
+            engine.seed(batch_df, mode="append", at_round=start)
         engine.resume(start_round=start, max_rounds=start + max_rounds_per_batch)
 
     return (
