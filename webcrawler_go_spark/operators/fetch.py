@@ -14,10 +14,16 @@ Two backends:
   no network. Numeric fields are computed vectorized; ragged span arrays
   are assembled per row (they are ragged by nature; batches still move
   as Arrow).
-* **http** (production path): real GET/HEAD with rotating UA, redirect cap
-  10 (crawler.go:189-199), timeout 30s (crawler.go:180), gzip handled by
-  the client (crawler.go:681-689). Gated behind config because this
-  sandbox has no network; the Spark-side plumbing is identical.
+* **http** (production path): real GET/HEAD with full request parity —
+  the reference's 12 headers + UA rotated by attempt (crawler.go:627-639),
+  Referer after first success (crawler.go:640-645), per-task cookie jar
+  (crawler.go:177), redirect cap 10 (crawler.go:189-199), timeout 30s
+  (crawler.go:180), gzip handled by the client (crawler.go:681-689) —
+  and REAL span extraction: HTML bodies run through the X1/X2 walker
+  (html_extract.py) so fetched pages emit interleaved spans + outlinks
+  that feed the next round's frontier. Tested via an injected mock
+  transport (tests/test_http_backend.py) because this sandbox has no
+  network; the Spark-side plumbing is identical.
 """
 
 from __future__ import annotations
@@ -30,7 +36,6 @@ from pyspark.sql import DataFrame
 
 from webcrawler_go_spark import worldgen
 from webcrawler_go_spark.functions.classify import BLOCKED_STATUSES
-from webcrawler_go_spark.hashing import str_hash64
 from webcrawler_go_spark.schemas import FETCH_RESULT
 from webcrawler_go_spark.worldgen import World
 
@@ -247,6 +252,7 @@ def fetch_frontier(
     method: str = "GET",
     timeout_s: int = 30,
     max_redirects: int = 10,
+    referer_url: str | None = None,
 ) -> DataFrame:
     """Fetch a scheduled frontier round.
 
@@ -268,77 +274,159 @@ def fetch_frontier(
         return scheduled.mapInArrow(gen_arrow, schema=FETCH_RESULT)
 
     if backend == "http":
-
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # one session per task = the reference's keep-alive pool
-            import requests  # deferred: not needed for synthetic runs
-
-            session = requests.Session()
-            session.max_redirects = max_redirects
-            for b in batches:
-                out = []
-
-                def _carry(r):
-                    return (
-                        getattr(r, "path", ""),
-                        getattr(r, "disc_round", r.round),
-                        getattr(r, "parent_seq", 0),
-                        getattr(r, "link_pos", 0),
-                        getattr(r, "attempts", 0),
-                    )
-
-                for i, r in enumerate(b.itertuples(index=False)):
-                    ua = USER_AGENTS[str_hash64(r.url_norm) % len(USER_AGENTS)]
-                    try:
-                        resp = session.request(
-                            method,
-                            r.url_norm,
-                            timeout=timeout_s,
-                            headers={"User-Agent": ua},
-                        )
-                        body = resp.text if method == "GET" else ""
-                        out.append(
-                            (
-                                r.url_norm,
-                                r.url_hash,
-                                r.host,
-                                r.seq,
-                                r.round,
-                                resp.status_code,
-                                resp.headers.get("Content-Type", ""),
-                                len(resp.content),
-                                None,
-                                resp.status_code in BLOCKED_STATUSES,
-                                None,
-                                [{"kind": "text", "text": body, "media_ref": "", "offset": 0}],
-                                [],
-                                *_carry(r),
-                            )
-                        )
-                    except Exception as exc:  # noqa: BLE001 — taxonomy below
-                        out.append(
-                            (
-                                r.url_norm,
-                                r.url_hash,
-                                r.host,
-                                r.seq,
-                                r.round,
-                                0,
-                                "",
-                                0,
-                                str(exc),
-                                False,
-                                None,
-                                [],
-                                [],
-                                *_carry(r),
-                            )
-                        )
-                yield pd.DataFrame(
-                    out, columns=[f.name for f in FETCH_RESULT.fields]
-                )
-
+        gen = _http_kernel(
+            method=method,
+            timeout_s=timeout_s,
+            max_redirects=max_redirects,
+            referer_url=referer_url,
+        )
     else:
         raise ValueError(f"unknown fetch backend: {backend}")
 
     return scheduled.mapInPandas(gen, schema=FETCH_RESULT)
+
+
+# request-header parity with the reference (crawler.go:628-639): the 11
+# fixed headers sent with every GET; UA rotates by ATTEMPT (crawler.go:627)
+# and Referer joins after the first success (crawler.go:640-645).
+BASE_HEADERS = {
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,*/*;q=0.8",
+    "Accept-Language": "en-US,en;q=0.5",
+    "Accept-Encoding": "gzip, deflate, br",
+    "DNT": "1",
+    "Connection": "keep-alive",
+    "Upgrade-Insecure-Requests": "1",
+    "Cache-Control": "max-age=0",
+    "Sec-Fetch-Dest": "document",
+    "Sec-Fetch-Mode": "navigate",
+    "Sec-Fetch-Site": "none",
+    "Sec-Fetch-User": "?1",
+}
+
+
+def _http_kernel(
+    method: str,
+    timeout_s: int,
+    max_redirects: int,
+    referer_url: str | None,
+    transport=None,
+):
+    """Build the per-task http fetch generator.
+
+    * one ``requests.Session`` per task = keep-alive pool + COOKIE JAR
+      (crawler.go:177,182-188) — cookies set by a host persist across that
+      task's requests;
+    * UA rotates by attempt number (crawler.go:627) so the blocked-retry
+      path re-presents as a different browser;
+    * Referer (= the crawl's start URL) is sent once the task has seen its
+      first success — the task-local projection of the reference's global
+      ``successfulHit`` flag (crawler.go:640-645);
+    * HTML bodies run through the real span walker (html_extract.py) so
+      fetch emits X1/X2-parity interleaved spans AND outlinks — a
+      production crawl discovers links (round-1 gap: raw body as one span
+      with outlinks=[] halted the crawl after round 0);
+    * bot-protection body check (crawler.go:1001-1028) marks blocked.
+
+    ``transport`` (tests): a callable(session, method, url, headers) →
+    response-like, replacing the network call; None → real session.request.
+    """
+    from webcrawler_go_spark.functions.classify import BOT_INDICATORS
+    from webcrawler_go_spark.operators.html_extract import (
+        extract_spans_from_html,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import requests  # deferred: not needed for synthetic runs
+
+        session = requests.Session()
+        session.max_redirects = max_redirects
+        had_success = False
+
+        def do_request(m, url, headers):
+            if transport is not None:
+                return transport(session, m, url, headers)
+            return session.request(m, url, timeout=timeout_s, headers=headers)
+
+        for b in batches:
+            out = []
+
+            def _carry(r):
+                return (
+                    getattr(r, "path", ""),
+                    getattr(r, "disc_round", r.round),
+                    getattr(r, "parent_seq", 0),
+                    getattr(r, "link_pos", 0),
+                    getattr(r, "attempts", 0),
+                )
+
+            for r in b.itertuples(index=False):
+                attempt = int(getattr(r, "attempts", 0))
+                headers = dict(BASE_HEADERS)
+                headers["User-Agent"] = USER_AGENTS[attempt % len(USER_AGENTS)]
+                if had_success and referer_url:
+                    headers["Referer"] = referer_url
+                try:
+                    resp = do_request(method, r.url_norm, headers)
+                    ctype = resp.headers.get("Content-Type", "")
+                    body = resp.text if method == "GET" else ""
+                    is_html = "text/html" in ctype
+                    lower = body.lower()
+                    bot_blocked = is_html and any(
+                        s in lower for s in BOT_INDICATORS
+                    )
+                    blocked = resp.status_code in BLOCKED_STATUSES or bot_blocked
+                    if resp.status_code == 200 and not blocked:
+                        had_success = True
+                    if blocked or not is_html or method != "GET":
+                        spans, outlinks = [], []
+                        if not blocked and body:
+                            spans = [
+                                {"kind": "text", "text": body, "media_ref": "", "offset": 0}
+                            ]
+                    else:
+                        spans = extract_spans_from_html(body)
+                        outlinks = [
+                            s["media_ref"] for s in spans if s["kind"] == "link"
+                        ]
+                    out.append(
+                        (
+                            r.url_norm,
+                            r.url_hash,
+                            r.host,
+                            r.seq,
+                            r.round,
+                            resp.status_code,
+                            ctype,
+                            len(resp.content),
+                            None,
+                            blocked,
+                            None,
+                            spans,
+                            outlinks,
+                            *_carry(r),
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — taxonomy below
+                    out.append(
+                        (
+                            r.url_norm,
+                            r.url_hash,
+                            r.host,
+                            r.seq,
+                            r.round,
+                            0,
+                            "",
+                            0,
+                            str(exc),
+                            False,
+                            None,
+                            [],
+                            [],
+                            *_carry(r),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FETCH_RESULT.fields]
+            )
+
+    return gen
