@@ -1021,6 +1021,54 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: REAL PDF text extraction (parser/pdf.go:11-53) as a round
+    trip: build a valid FlateDecode PDF from each document's text inside
+    the kernel, extract with the pure-Python content-stream walker, emit
+    the extracted text. The oracle states what extraction must return —
+    the original text — so any parser defect hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("t")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from webcrawler_go_spark.operators.doc_extract import (
+            make_pdf,
+            pdf_text_blocks,
+        )
+
+        for b in batches:
+            ext = ["\n".join(pdf_text_blocks(make_pdf([t]))) for t in b["t"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "extracted": ext})
+
+    return docs.mapInPandas(kernel, "doc_id long, extracted string")
+
+
+def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL DOCX extraction (parser/docx.go:11-31) round trip: build
+    a .docx (two runs per paragraph) from each document's text, extract
+    paragraphs via the stdlib zip+XML walk, emit the joined text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 150).alias("t")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from webcrawler_go_spark.operators.doc_extract import (
+            docx_paragraphs,
+            make_docx,
+        )
+
+        for b in batches:
+            ext = ["\n".join(docx_paragraphs(make_docx([t]))) for t in b["t"]]
+            yield pd.DataFrame({"doc_id": b["doc_id"], "extracted": ext})
+
+    return docs.mapInPandas(kernel, "doc_id long, extracted string")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import doc_fingerprint
 
@@ -1423,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "pdf_text_extract": q_pdf_text_extract,
+        "docx_text_extract": q_docx_text_extract,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
@@ -1785,6 +1835,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents""",
+        "pdf_text_extract": """
+            SELECT doc_id, substring(text, 1, 200) AS extracted FROM documents""",
+        "docx_text_extract": """
+            SELECT doc_id, substring(text, 1, 150) AS extracted FROM documents""",
         "doc_fingerprint": f"""
             WITH docs AS (SELECT doc_id, text FROM documents), {_TOKENS_SQL.strip()},
             vocab AS (

@@ -96,3 +96,73 @@ def test_robots_end_to_end_with_apply(spark):
     )
     allowed = {r.url_norm for r in apply_robots(frontier, rules).collect()}
     assert allowed == {"u2", "u3", "u4"}
+
+
+# --- PDF (X4) ---------------------------------------------------------------
+
+PDF_TRICKY = "parens (nested) \\ backslash\ttab"
+
+
+def test_pdf_roundtrip_and_escapes():
+    from webcrawler_go_spark.operators.doc_extract import (
+        make_pdf,
+        pdf_contains,
+        pdf_text_blocks,
+    )
+
+    pdf = make_pdf(["Hello PDF world", PDF_TRICKY, "find https://h.test/x here"])
+    blocks = pdf_text_blocks(pdf)
+    assert blocks == ["Hello PDF world", PDF_TRICKY, "find https://h.test/x here"]
+    assert pdf_contains(pdf, "https://h.test/x")       # parser/pdf.go contract
+    assert not pdf_contains(pdf, "absent-needle")
+    # uncompressed stream path
+    blocks_u = pdf_text_blocks(make_pdf(["plain"], compress=False))
+    assert blocks_u == ["plain"]
+
+
+def test_pdf_tj_arrays_hex_and_octal():
+    import zlib
+
+    from webcrawler_go_spark.operators.doc_extract import pdf_text_blocks
+
+    content = (
+        b"BT [(kern) -120 (ed)] TJ <2048455821> Tj (\\101\\102) Tj "
+        b"(line\\nbreak) ' ET"
+    )
+    comp = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream endobj\n"
+    )
+    assert pdf_text_blocks(pdf) == ["kerned HEX!ABline\nbreak"]
+
+
+def test_pdf_garbage_and_unsupported_filters_extract_nothing():
+    from webcrawler_go_spark.operators.doc_extract import pdf_text_blocks
+
+    assert pdf_text_blocks(b"not a pdf at all") == []
+    bad = (
+        b"1 0 obj << /Length 4 /Filter /LZWDecode >>\nstream\nXXXX\nendstream"
+    )
+    assert pdf_text_blocks(bad) == []  # skip, don't raise (pdf.go contract)
+
+
+def test_pdf_extract_documents_spark(spark):
+    from webcrawler_go_spark.operators.doc_extract import (
+        extract_pdf_documents,
+        make_pdf,
+    )
+
+    blobs = spark.createDataFrame(
+        [("a.pdf", bytearray(make_pdf(["page one", "page two"])))],
+        "media_ref string, payload binary",
+    )
+    rows = extract_pdf_documents(blobs).collect()
+    assert len(rows) == 1
+    assert [(s["kind"], s["text"], s["offset"]) for s in rows[0].spans] == [
+        ("text", "page one", 0),
+        ("text", "page two", 1),
+    ]
