@@ -27,6 +27,16 @@ def read_feed(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(*coalesce_feed_fields(raw.columns))
 
 
+def filter_feed_items(feed: DataFrame, tag_filter: str = "") -> DataFrame:
+    """F9 + link-empty skip (jsonfeed.go:119-131): drop items with no
+    link; when a tag filter is configured, keep only items whose tags
+    contain it."""
+    rows = feed.filter(F.col("link").isNotNull() & (F.col("link") != ""))
+    if tag_filter:
+        rows = rows.filter(F.col("tags").contains(tag_filter))
+    return rows
+
+
 def feed_capture_frontier(
     feed: DataFrame,
     base_url: str,
@@ -34,9 +44,7 @@ def feed_capture_frontier(
 ) -> DataFrame:
     """Tag filter (F9, jsonfeed.go:119-131) → link resolve (C2) → one
     fetch row per item with the headline-derived artifact filename (C5)."""
-    rows = feed.filter(F.col("link").isNotNull() & (F.col("link") != ""))
-    if tag_filter:
-        rows = rows.filter(F.col("tags").contains(tag_filter))
+    rows = filter_feed_items(feed, tag_filter)
     resolved = F.when(
         F.col("link").rlike("^https?://"), F.col("link")
     ).otherwise(F.concat(F.lit(base_url.rstrip("/") + "/"), F.regexp_replace("link", "^/", "")))
