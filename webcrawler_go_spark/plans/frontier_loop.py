@@ -103,6 +103,7 @@ class CrawlEngine:
         self.bloom_threshold = bloom_threshold
         self.salt_threshold = salt_threshold
         self.collect_stats = collect_stats
+        self.profile = False  # per-phase wall timing to stderr (debug)
         self.stats: list[RoundStats] = []
 
     # -- seeding ---------------------------------------------------------
@@ -177,6 +178,19 @@ class CrawlEngine:
     # -- one round --------------------------------------------------------
 
     def run_round(self, r: int) -> RoundStats:
+        import sys as _sys
+        import time as _time
+
+        _t0 = _time.perf_counter()
+
+        def _mark(label):
+            if self.profile:
+                print(
+                    f"    [round {r}] {label}: "
+                    f"{_time.perf_counter() - _t0:.2f}s cumulative",
+                    file=_sys.stderr,
+                )
+
         cfg = self.config
         frontier = self.frontier_t.read()
         seen = self.seen_t.read()
@@ -232,7 +246,9 @@ class CrawlEngine:
         )
         # one round = one materialization: cache the kernel output so the
         # documents/links/retries/metrics branches don't re-fetch
+        _mark("plan-built")
         fetched = fetched.localCheckpoint(eager=True)
+        _mark("fetch-checkpoint")
 
         # --- retry / blocked requeue (W3 + J3) ---------------------------
         retry_error = (
@@ -306,6 +322,7 @@ class CrawlEngine:
             ]
             for f_ in futures:
                 f_.result()
+        _mark("commits")
 
         # --- per-round metrics (A1/A2/A3 in one aggregate) -----------------
         if not self.collect_stats:

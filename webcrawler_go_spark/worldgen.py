@@ -373,3 +373,203 @@ def doc_outlinks(world: World, url: str) -> list[str]:
 def body_text_of(world: World, url: str) -> str:
     """Flat page text (joined text spans) for substring-search parity."""
     return " ".join(text_spans_of(world, url))
+
+
+def synth_flat(world: World, urls: list[str]) -> dict:
+    """Arrow-ready FLAT synthesis of a whole fetch batch — the fast path
+    behind the mapInArrow kernel (operators/fetch.py).
+
+    Everything ``_synth_arrow`` used to assemble per row is produced here
+    as flat numpy/object buffers in ONE vectorized pass: a single
+    string-hash sweep over the URLs (all six salted hash streams derive
+    from it), ragged span structure via repeat/cumsum, the per-URL
+    deterministic interleave as one global ``np.lexsort`` on
+    (parent, key, queue-index) instead of 64k tiny ``sorted()`` calls,
+    and media/link URL strings as vectorized object-array concatenation.
+    Bit-identical to the scalar ``spans_of`` path — asserted against it
+    in tests/test_crawl_parity.py (span-sequence parity) and
+    tests/test_properties.py.
+
+    Returns a dict of per-row arrays (status, html, ctype, nbytes, err,
+    lastmod_days, blocked) and flat span/outlink buffers (sp_offsets,
+    sp_kind, sp_text, sp_media, sp_off, ol_offsets, ol_vals). Blocked
+    rows (4xx-blocked or bot-phrase pages) emit no spans — the kernel's
+    contract (crawler.go:698-701).
+    """
+    import numpy as np
+
+    from webcrawler_go_spark.hashing import splitmix64_np, str_hash64_np
+
+    u64 = np.uint64
+    n = len(urls)
+    M = (1 << 64) - 1
+    base = str_hash64_np(urls)
+
+    def hs(salt: int) -> np.ndarray:
+        c = u64((world.seed * 0x9E3779B97F4A7C15 + salt) & M)
+        return splitmix64_np(base ^ c)
+
+    h1, h2, h3, h4, h5 = hs(1), hs(2), hs(3), hs(4), hs(5)
+    h6, h7, h8, h9 = hs(6), hs(7), hs(8), hs(9)
+
+    statuses = np.array(_STATUS_TABLE, dtype=np.int64)[(h1 % u64(100)).astype(np.int64)]
+    r3 = (h3 % u64(100)).astype(np.int64)
+    html = r3 < 88
+    ctype = np.select(
+        [r3 < 88, r3 < 92, r3 < 95],
+        np.array(
+            [
+                "text/html",
+                "application/pdf",
+                "application/vnd.openxmlformats-officedocument."
+                "wordprocessingml.document",
+            ],
+            dtype=object,
+        ),
+        default="image/jpeg",
+    )
+    nbytes = ((u64(500) + h2 % u64(8000)) * (u64(1) << ((h2 >> u64(13)) % u64(8)))).astype(np.int64)
+    r4 = (h4 % u64(1000)).astype(np.int64)
+    is_err = r4 >= 970
+    err_names = np.array(
+        ["timeout", "connection refused", "no such host", "certificate"],
+        dtype=object,
+    )
+    err = np.where(is_err, err_names[r4 % 4], None)
+    lastmod_days = np.where(
+        (h5 % u64(2)) == 0, (h5 % u64(365)).astype(np.int64), -1
+    ).astype(np.int64)
+
+    bot = (h7 % u64(100)) == 0
+    ok200 = (~is_err) & (statuses == 200)
+    blocked = (~is_err) & (
+        np.isin(statuses, (403, 503, 429)) | (ok200 & bot)
+    )
+    emit = ok200 & ~bot  # blocked pages contribute no content
+
+    host_is = np.array([_host_page_of(u)[0] for u in urls], dtype=np.int64)
+    max_host = int(host_is.max()) + 1 if n else 1
+    hostnames = np.array(
+        [host_name(i) for i in range(max(max_host, world.n_hosts))], dtype=object
+    )
+
+    # --- text spans (mirrors text_spans_of) ---
+    n_text = np.where(emit, 1 + (h7 % u64(world.max_text_spans)).astype(np.int64), 0)
+    t_parent = np.repeat(np.arange(n), n_text)
+    t_starts = np.concatenate(([0], np.cumsum(n_text)))
+    t_within = np.arange(t_starts[-1]) - np.repeat(t_starts[:-1], n_text)
+    with np.errstate(over="ignore"):
+        sh = splitmix64_np(h7[t_parent] + u64(101) * t_within.astype(np.uint64))
+    n_words = 4 + (sh % u64(12)).astype(np.int64)
+    w_starts = np.concatenate(([0], np.cumsum(n_words)))
+    w_parent = np.repeat(np.arange(len(sh)), n_words)
+    w_within = np.arange(w_starts[-1]) - np.repeat(w_starts[:-1], n_words)
+    with np.errstate(over="ignore"):
+        widx = splitmix64_np(sh[w_parent] + w_within.astype(np.uint64)) % u64(len(_WORDS))
+    # plain-list slicing + join is ~2× cheaper than slicing object ndarrays
+    wl = np.array(_WORDS, dtype=object)[widx.astype(np.int64)].tolist()
+    ws = w_starts.tolist()
+    texts_flat = np.array(
+        [" ".join(wl[ws[si]:ws[si + 1]]) for si in range(len(sh))], dtype=object
+    ) if len(sh) else np.empty(0, dtype=object)
+    needle = (sh % u64(97)) == 0
+    if needle.any():
+        texts_flat[needle] = texts_flat[needle] + f" {SEARCH_NEEDLE}"
+
+    # --- media refs (mirrors media_refs_of) ---
+    n_media = np.where(emit, (h8 % u64(world.max_media_spans + 1)).astype(np.int64), 0)
+    m_parent = np.repeat(np.arange(n), n_media)
+    m_starts = np.concatenate(([0], np.cumsum(n_media)))
+    m_within = np.arange(m_starts[-1]) - np.repeat(m_starts[:-1], n_media)
+    with np.errstate(over="ignore"):
+        mh = splitmix64_np(h8[m_parent] + u64(977) * m_within.astype(np.uint64))
+    media_pre = np.array(
+        [f"https://{h}/media/" for h in hostnames], dtype=object
+    )
+    dot_ext = np.array([f".{e}" for e in _MEDIA_EXT], dtype=object)
+    m_ext = dot_ext[(mh % u64(len(_MEDIA_EXT))).astype(np.int64)]
+    m_id = (mh % u64(100_000)).astype(np.int64)
+    m_refs = (
+        media_pre[host_is[m_parent]]
+        + m_id.astype(str).astype(object)
+        + m_ext
+    ) if len(m_parent) else np.empty(0, dtype=object)
+
+    # --- outlinks (mirrors outlinks_of) ---
+    n_links = np.where(emit & html, (h6 % u64(world.max_links + 1)).astype(np.int64), 0)
+    l_parent = np.repeat(np.arange(n), n_links)
+    l_starts = np.concatenate(([0], np.cumsum(n_links)))
+    l_within = np.arange(l_starts[-1]) - np.repeat(l_starts[:-1], n_links)
+    with np.errstate(over="ignore"):
+        hh = splitmix64_np(
+            h6[l_parent]
+            ^ (
+                l_within.astype(np.uint64) * u64(0x5851F42D4C957F2D)
+                + u64(0x14057B7EF767814F)
+            )
+        )
+    same = (hh % u64(100)) < u64(world.same_host_pct)
+    skew_u = ((hh >> u64(7)) % u64(10_000)).astype(np.float64) / 10_000.0
+    skew_host = (world.n_hosts * skew_u * skew_u).astype(np.int64) % world.n_hosts
+    l_host = np.where(same, host_is[l_parent], skew_host)
+    l_page = ((hh >> u64(17)) % u64(world.pages_per_host)).astype(np.int64)
+    page_pre = np.array([f"https://{h}/page/" for h in hostnames], dtype=object)
+    l_refs = (
+        page_pre[l_host] + l_page.astype(str).astype(object)
+    ) if len(l_parent) else np.empty(0, dtype=object)
+
+    # --- interleave: ONE lexsort over (parent, key, queue-index) ---
+    qn = n_text + n_media + n_links
+    q_parent = np.concatenate([t_parent, m_parent, l_parent])
+    q_j = np.concatenate(
+        [
+            t_within,
+            n_text[m_parent] + m_within,
+            n_text[l_parent] + n_media[l_parent] + l_within,
+        ]
+    ).astype(np.int64)
+    kind_code = np.concatenate(
+        [
+            np.zeros(len(t_parent), dtype=np.int8),
+            np.ones(len(m_parent), dtype=np.int8),
+            np.full(len(l_parent), 2, dtype=np.int8),
+        ]
+    )
+    q_text = np.concatenate(
+        [
+            texts_flat,
+            np.full(len(m_parent), "", dtype=object),
+            np.full(len(l_parent), "", dtype=object),
+        ]
+    ) if len(q_parent) else np.empty(0, dtype=object)
+    q_media = np.concatenate(
+        [np.full(len(t_parent), "", dtype=object), m_refs, l_refs]
+    ) if len(q_parent) else np.empty(0, dtype=object)
+    with np.errstate(over="ignore"):
+        keys = splitmix64_np(h9[q_parent] + u64(31) * q_j.astype(np.uint64))
+    order = np.lexsort((q_j, keys, q_parent))
+    sp_parent = q_parent[order]
+    sp_starts = np.concatenate(([0], np.cumsum(qn)))
+    sp_off = (np.arange(len(order)) - sp_starts[sp_parent]).astype(np.int32)
+    kind_sorted = kind_code[order]
+    kind_names = np.array(["text", "media", "link"], dtype=object)
+
+    link_mask = kind_sorted == 2
+    ol_vals = q_media[order][link_mask]
+
+    return {
+        "status": statuses,
+        "ctype": ctype,
+        "nbytes": nbytes,
+        "err": err,
+        "lastmod_days": lastmod_days,
+        "blocked": blocked,
+        "is_err": is_err,
+        "sp_offsets": sp_starts.astype(np.int64),
+        "sp_kind": kind_names[kind_sorted],
+        "sp_text": q_text[order],
+        "sp_media": q_media[order],
+        "sp_off": sp_off,
+        "ol_offsets": np.concatenate(([0], np.cumsum(n_links))).astype(np.int64),
+        "ol_vals": ol_vals,
+    }
