@@ -151,3 +151,50 @@ def test_http_backend_through_spark(spark):
         "text", "link", "text", "media", "link", "text"
     ]
     assert r.outlinks == ["https://h.test/b", "/rel"]
+
+
+def test_http_backend_dispatches_pdf_and_docx():
+    """C7 → X4/X5: PDF and DOCX responses route through the real binary
+    extractors; corrupt documents extract nothing (not an error row)."""
+    from webcrawler_go_spark.operators.doc_extract import make_docx, make_pdf
+
+    pdf_bytes = make_pdf(["pdf page text"])
+    docx_bytes = make_docx(["docx paragraph"])
+
+    class BinResp:
+        def __init__(self, ctype, content):
+            self.status_code = 200
+            self.headers = {"Content-Type": ctype}
+            self.content = content
+            self.text = content.decode("latin-1", errors="replace")
+
+    pages = {
+        "https://h.test/a.pdf": BinResp("application/pdf", pdf_bytes),
+        "https://h.test/a.docx": BinResp(
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.document",
+            docx_bytes,
+        ),
+        "https://h.test/bad.pdf": BinResp("application/pdf", b"garbage"),
+    }
+    seen = []
+
+    def transport(session, method, url, headers):
+        seen.append(url)
+        return pages[url]
+
+    gen = _http_kernel(
+        method="GET", timeout_s=5, max_redirects=10,
+        referer_url=None, transport=transport,
+    )
+    rows = [
+        ("https://h.test/a.pdf", 1, "h.test", 1, 0, 0),
+        ("https://h.test/a.docx", 2, "h.test", 2, 0, 0),
+        ("https://h.test/bad.pdf", 3, "h.test", 3, 0, 0),
+    ]
+    out = pd.concat(list(gen(iter([_batch(rows)]))), ignore_index=True)
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    assert [s["text"] for s in by_url["https://h.test/a.pdf"]["spans"]] == ["pdf page text"]
+    assert [s["text"] for s in by_url["https://h.test/a.docx"]["spans"]] == ["docx paragraph"]
+    bad = by_url["https://h.test/bad.pdf"]
+    assert list(bad["spans"]) == [] and bad["status"] == 200 and bad["error_class"] is None

@@ -81,18 +81,20 @@ def run_one(cpus: int) -> dict:
         F.lit(0).alias("attempts"),
         F.lit(0).alias("not_before_round"),
     )
-    seen = (
-        spark.range(0, N_URLS, SEEN_FRACTION)
-        .select(
-            F.xxhash64(
-                F.concat(
-                    F.lit("https://host-"),
-                    F.lpad((F.col("id") * 2654435761 % F.lit(N_HOSTS)).cast("long").cast("string"), 4, "0"),
-                    F.lit(".test/page/"),
-                    F.col("id").cast("string"),
-                )
-            ).alias("url_hash")
-        )
+    seen_url = F.concat(
+        F.lit("https://host-"),
+        F.lpad(
+            (F.col("id") * 2654435761 % F.lit(N_HOSTS)).cast("long").cast("string"),
+            4,
+            "0",
+        ),
+        F.lit(".test/page/"),
+        F.col("id").cast("string"),
+    )
+    # seen carries (url_hash, url_norm) — the dedup key is the exact
+    # string with the hash as shuffle-key prefix (collision safety)
+    seen = spark.range(0, N_URLS, SEEN_FRACTION).select(
+        F.xxhash64(seen_url).alias("url_hash"), seen_url.alias("url_norm")
     )
     budgets = spark.createDataFrame(
         [], "host string, max_fetches_per_round int, crawl_delay_ms int"

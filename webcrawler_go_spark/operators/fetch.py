@@ -310,9 +310,32 @@ def _http_kernel(
     response-like, replacing the network call; None → real session.request.
     """
     from webcrawler_go_spark.functions.classify import BOT_INDICATORS
+    from webcrawler_go_spark.operators.doc_extract import (
+        docx_paragraphs,
+        pdf_text_blocks,
+    )
     from webcrawler_go_spark.operators.html_extract import (
         extract_spans_from_html,
     )
+
+    def _doc_spans(ctype: str, content: bytes) -> list[dict] | None:
+        """C7 dispatch to the real binary-document extractors (X4/X5):
+        parser/pdf.go + parser/docx.go routed by Content-Type
+        (crawler.go:703-718). Returns None for non-document types;
+        extraction failures yield [] (the parsers' error contract)."""
+        try:
+            if "application/pdf" in ctype:
+                blocks = pdf_text_blocks(content)
+            elif "wordprocessingml" in ctype:
+                blocks = docx_paragraphs(content)
+            else:
+                return None
+        except Exception:  # noqa: BLE001 — corrupt document: extract nothing
+            return []
+        return [
+            {"kind": "text", "text": t, "media_ref": "", "offset": i}
+            for i, t in enumerate(blocks)
+        ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import requests  # deferred: not needed for synthetic runs
@@ -356,17 +379,27 @@ def _http_kernel(
                     blocked = resp.status_code in BLOCKED_STATUSES or bot_blocked
                     if resp.status_code == 200 and not blocked:
                         had_success = True
-                    if blocked or not is_html or method != "GET":
+                    doc_spans = (
+                        None
+                        if (blocked or method != "GET")
+                        else _doc_spans(ctype, resp.content)
+                    )
+                    if blocked or method != "GET":
                         spans, outlinks = [], []
-                        if not blocked and body:
-                            spans = [
-                                {"kind": "text", "text": body, "media_ref": "", "offset": 0}
-                            ]
-                    else:
+                    elif is_html:
                         spans = extract_spans_from_html(body)
                         outlinks = [
                             s["media_ref"] for s in spans if s["kind"] == "link"
                         ]
+                    elif doc_spans is not None:
+                        spans, outlinks = doc_spans, []
+                    else:
+                        outlinks = []
+                        spans = (
+                            [{"kind": "text", "text": body, "media_ref": "", "offset": 0}]
+                            if body
+                            else []
+                        )
                     out.append(
                         (
                             r.url_norm,
