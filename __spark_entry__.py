@@ -1021,6 +1021,35 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: canonical text form before dedup (lowercase, control
+    chars stripped, whitespace collapsed, trimmed) — pure Catalyst."""
+    from webcrawler_go_spark.operators.textanalysis import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(
+            F.concat(F.lit("  MiXeD\tCase \x07"), F.col("text"), F.lit("  "))
+        ).alias("norm_text"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: deterministic per-stratum Bernoulli sample
+    (keep all long docs, 20% of short) — hash-threshold draw, reproducible
+    across engines and partitionings."""
+    from webcrawler_go_spark.operators.textanalysis import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.length("text") >= 200, "long").otherwise("short").alias("stratum"),
+    )
+    kept = stratified_sample(docs, "stratum", {"long": 1.0, "short": 0.2})
+    return kept.select("doc_id", "stratum")
+
+
 def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 (jsonfeed.go:119-131): drop empty-link items, keep only items
     whose tags contain the configured tag."""
@@ -1540,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": q_pdf_text_extract,
         "docx_text_extract": q_docx_text_extract,
         "tag_filter": q_tag_filter,
+        "sample_stratified": q_sample_stratified,
+        "text_normalize": q_text_normalize,
         "gzip_decode": q_gzip_decode,
         "feed_capture_join": q_feed_capture_join,
         "csv_sink": q_csv_sink,
@@ -1948,6 +1979,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents""",
+        "text_normalize": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                     regexp_replace('  MiXeD' || chr(9) || 'Case ' || chr(7) || text || '  ',
+                                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '\s+', ' ', 'g'))) AS norm_text
+            FROM documents""",
+        "sample_stratified": """
+            SELECT doc_id,
+                   (CASE WHEN length(text) >= 200 THEN 'long' ELSE 'short' END) AS stratum
+            FROM documents
+            WHERE (((doc_id % 999999937) * 2654435761) % 999999937) % 1000000
+                  < CAST((CASE WHEN length(text) >= 200 THEN 1.0 ELSE 0.2 END) * 1000000 AS BIGINT)""",
         "tag_filter": """
             SELECT c_custkey AS item_id,
                    'https://feed.test/p/' || CAST(c_custkey AS VARCHAR) AS link,

@@ -101,3 +101,25 @@ def test_exact_duplicates_survives_digest_collision(spark):
         ).collect()
     }
     assert got == {1: 1, 3: 1, 2: 2}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Hash-threshold sampling: exact determinism across calls, rate≈target
+    per stratum, keep-all stratum fully kept."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.textanalysis import stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    kept1 = stratified_sample(docs, "stratum", {"a": 1.0, "b": 0.25})
+    kept2 = stratified_sample(docs, "stratum", {"a": 1.0, "b": 0.25})
+    r1 = {(r.doc_id, r.stratum) for r in kept1.collect()}
+    r2 = {(r.doc_id, r.stratum) for r in kept2.collect()}
+    assert r1 == r2                                  # pure function of key
+    n_a = sum(1 for _, s in r1 if s == "a")
+    n_b = sum(1 for _, s in r1 if s == "b")
+    assert n_a == 2000                               # rate 1.0 keeps all
+    assert 350 < n_b < 650                           # rate .25 of 2000 ±ε

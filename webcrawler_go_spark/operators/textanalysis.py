@@ -119,3 +119,60 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ids.groupBy("doc_id")
         .agg((F.sum(term) % F.lit(FP_P)).alias("fingerprint"))
     )
+
+
+# --- deterministic sampling (training-data curation) ------------------------
+
+SAMPLE_P = 999_999_937  # prime for the hash-threshold Bernoulli draw
+SAMPLE_A = 2_654_435_761
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the corpus-curation
+    primitive (e.g. keep 100% of high-quality docs, 10% of low).
+
+    Keep row iff ((key·A) mod P) mod scale < rate·scale. Hash-threshold
+    (not ``df.sample``) so the draw is a pure function of the key:
+    reproducible across runs/engines (ANSI-SQL oracle twin), stable under
+    repartitioning, and shuffle-free — at 100 TB this is a narrow
+    filter+broadcast, never a sort or a per-partition RNG whose output
+    depends on physical layout."""
+    rate_expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate_expr = (
+            F.when(cond, F.lit(rate))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(rate))
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(default_rate))
+        if rate_expr is not None
+        else F.lit(default_rate)
+    )
+    # key mod P FIRST: (P-1)·A ≈ 2.6e18 stays inside int64, so the draw
+    # is overflow-free (and engine-identical) for keys of any magnitude
+    draw = (
+        ((F.col(key_col).cast("long") % F.lit(SAMPLE_P)) * F.lit(SAMPLE_A))
+        % F.lit(SAMPLE_P)
+    ) % F.lit(scale)
+    return docs.withColumn("_rate", rate_expr).filter(
+        draw < (F.col("_rate") * scale).cast("long")
+    ).drop("_rate")
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form used before exact/near dedup: lowercase,
+    control chars stripped, all whitespace runs collapsed to one space,
+    trimmed. Pure Catalyst (two regexes + lower/trim) — whole-stage
+    codegen, no UDF; identical ANSI-SQL twin in the oracle."""
+    t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.lower(F.trim(t))
