@@ -34,7 +34,10 @@ SEEN_FRACTION = 4  # every 4th URL is already seen
 # parsing ~100 KB of HTML, so without this the sandbox job degenerates to
 # an allocation-bandwidth microbenchmark no crawler resembles. Disclosed
 # in BENCH.md; the zero-cost variant is reported there as well.
-PARSE_COST = 50  # ≈1 ms/URL
+# Calibration (round 2): one pass of the splitmix sweep measures 15.0 µs
+# on an idle core → 66 passes ≈ 1.0 ms/URL (the previous 50 delivered
+# 0.75 ms, under the documented value).
+PARSE_COST = 66  # ≈1 ms/URL (measured)
 
 
 def _world():

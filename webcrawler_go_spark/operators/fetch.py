@@ -238,10 +238,17 @@ def fetch_frontier(
     CPU) and most cores sit idle through the round's dominant stage.
     """
     world = world or World()
-    sc = scheduled.sparkSession.sparkContext
-    par = sc.defaultParallelism or 1
-    if par > 1:
-        scheduled = scheduled.repartition(par, F.col("host"))
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_FETCH_WIDEN", "1") != "0":
+        sc = scheduled.sparkSession.sparkContext
+        par = sc.defaultParallelism or 1
+        if par > 1:
+            # 3× cores: the kernel stage is the round's dominant CPU, and
+            # at exactly 1 task/core any host-hash imbalance becomes a
+            # straggler tail with idle cores — 3× gives the scheduler
+            # room to rebalance while host co-location is preserved
+            scheduled = scheduled.repartition(par * 3, F.col("host"))
 
     if backend == "synthetic":
         # Arrow-native path (mapInArrow): flat-buffer span construction
