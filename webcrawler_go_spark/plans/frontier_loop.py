@@ -300,23 +300,33 @@ class CrawlEngine:
         # all four commits read only the checkpointed fetch output (plus
         # tiny carried frames) and are mutually independent → run them as
         # concurrent Spark jobs from separate threads, halving the
-        # per-round fixed latency that dominates at small round sizes
+        # per-round fixed latency that dominates at small round sizes.
+        # Outputs coalesce to ≤ the core count before writing: the fetch
+        # checkpoint is 3×-cores wide (kernel balancing), and carrying
+        # that width into FOUR parquet writes per round would pile up
+        # 100s of small files per table — growing every later read's
+        # file listing and the manifest — for zero write parallelism
+        # gain (the upstream compute is already done at the checkpoint).
         from concurrent.futures import ThreadPoolExecutor
+
+        n_out = max(4, self.spark.sparkContext.defaultParallelism)
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [
                 pool.submit(
-                    self.seen_t.commit, seen_delta,
+                    self.seen_t.commit, seen_delta.coalesce(n_out),
                     lineage={"round": r, "op": "seen+="},
                 ),
-                pool.submit(self.docs_t.commit, docs, lineage={"round": r}),
+                pool.submit(
+                    self.docs_t.commit, docs.coalesce(n_out), lineage={"round": r}
+                ),
                 pool.submit(
                     self.log_t.commit,
-                    fetched.select(*[f.name for f in FETCH_LOG.fields]),
+                    fetched.select(*[f.name for f in FETCH_LOG.fields]).coalesce(n_out),
                     lineage={"round": r},
                 ),
                 pool.submit(
-                    self.frontier_t.commit, next_frontier,
+                    self.frontier_t.commit, next_frontier.coalesce(n_out),
                     mode="replace", lineage={"round": r + 1},
                 ),
             ]
