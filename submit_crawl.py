@@ -29,6 +29,12 @@ def main() -> None:
     p.add_argument("--budget", type=int, default=20)
     p.add_argument("--salted", action="store_true")
     p.add_argument("--backend", default="synthetic")
+    p.add_argument("--mode", default="",
+                   help="optional result mode after the crawl: search | "
+                        "broken-links | oversized-images (crawler.Start modes 1-4)")
+    p.add_argument("--target", default="", help="search substring (search mode)")
+    p.add_argument("--threshold-kb", type=int, default=500)
+    p.add_argument("--out-csv", default="", help="mode CSV output dir")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("webcrawler-go-spark").getOrCreate()
@@ -44,6 +50,26 @@ def main() -> None:
     for s in eng.stats:
         print(s)
     eng.per_host_sequences().show(20, truncate=False)
+    if args.mode:
+        from webcrawler_go_spark.plans.search import (
+            broken_links_results,
+            oversized_images_results,
+            search_mode_results,
+        )
+        from webcrawler_go_spark.sinks.csv_sink import write_csv
+
+        if args.mode == "search":
+            res, sink = search_mode_results(eng, args.target), "search"
+        elif args.mode == "broken-links":
+            res, sink = broken_links_results(eng), "broken-links"
+        elif args.mode == "oversized-images":
+            res, sink = oversized_images_results(eng, args.threshold_kb), "oversized-images"
+        else:
+            raise SystemExit(f"unknown --mode {args.mode}")
+        if args.out_csv:
+            write_csv(res, args.out_csv, mode_name=sink, single_file=True)
+        else:
+            res.show(50, truncate=False)
 
 
 if __name__ == "__main__":

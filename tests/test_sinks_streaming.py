@@ -169,3 +169,38 @@ def test_frontier_foreach_batch_folds_every_seed_batch(spark, state_dir, tmp_pat
     seen = {r.url_norm for r in eng.url_seen().collect()}
     assert any(s1.replace("https://", "") in u or s1 in u for u in seen) or s1 in seen
     assert any(s2.replace("https://", "") in u or s2 in u for u in seen) or s2 in seen
+
+
+def test_search_modes_end_to_end(spark, tmp_path):
+    """§3.1 modes 1-4 end to end: crawl a synthetic world, run each mode's
+    result query over the committed tables, write the mode CSV."""
+    import glob
+    import os
+
+    from webcrawler_go_spark.plans.search import run_search_mode
+    from webcrawler_go_spark.worldgen import SEARCH_NEEDLE, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=40)
+    seeds = spark.createDataFrame(
+        gen_seeds(world, 3), "url string, priority double, seq int"
+    )
+
+    def run(mode, sub, **kw):
+        out = str(tmp_path / sub)
+        n = run_search_mode(
+            spark, seeds, str(tmp_path / (sub + "-state")), mode, out,
+            max_rounds=3, budget=15, world=world, **kw,
+        )
+        files = glob.glob(os.path.join(out, "part-*.csv"))
+        assert len(files) == 1
+        header = open(files[0]).readline().strip()
+        return n, header
+
+    n, header = run("search", "s", target=SEARCH_NEEDLE)
+    assert n > 0 and header == "url,status,content_type,bytes"
+
+    n, header = run("broken-links", "b")
+    assert n > 0 and header == "found_on,broken_url,status,error_class"
+
+    n, header = run("oversized-images", "o", threshold_kb=1)
+    assert header == "url,size_kb,found_on"

@@ -147,7 +147,7 @@ _BURN = (
 )
 
 
-def machine_ceiling() -> dict:
+def machine_ceiling(n1: int = 8, n2: int = 32) -> dict:
     """Measured pure-compute scaling ceiling of THIS box: N independent
     Python/numpy processes (no Spark), 8-way vs 32-way. On shared cloud
     VMs per-core throughput drops under all-core load (shared L3 /
@@ -167,14 +167,14 @@ def machine_ceiling() -> dict:
         times = [float(p.communicate()[0].strip()) for p in procs]
         return statistics.median(times)
 
-    t8, t32 = run(8), run(32)
+    t8, t32 = run(n1), run(n2)
     # aggregate throughput = n / per-proc-time
-    speedup = (32 / t32) / (8 / t8)
+    speedup = (n2 / t32) / (n1 / t8)
     return {
         "perproc_secs_8way": round(t8, 2),
         "perproc_secs_32way": round(t32, 2),
         "pure_compute_speedup_8_to_32": round(speedup, 2),
-        "ceiling_efficiency": round(speedup / 4, 3),
+        "ceiling_efficiency": round(speedup / (n2 / n1), 3),
     }
 
 
@@ -182,10 +182,16 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--one":
         print(json.dumps(run_one(int(sys.argv[2]))))
         return
-    ceiling = machine_ceiling()
+    # optional N/4N pair override: --pair 4 16 (the north rule says two
+    # cluster sizes N and 4N — any N; smaller pairs stay under the box's
+    # shared-memory-bus saturation and expose the engine's own scaling)
+    n1, n2 = 8, 32
+    if len(sys.argv) > 3 and sys.argv[1] == "--pair":
+        n1, n2 = int(sys.argv[2]), int(sys.argv[3])
+    ceiling = machine_ceiling(n1, n2)
     print(ceiling, file=sys.stderr)
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n1, n2):
         # pin the WHOLE process tree (JVM + Python UDF workers) to `cpus`
         # cores — otherwise local[8]'s Python workers silently use all 32
         # cores and the comparison understates real cluster scaling
@@ -196,16 +202,16 @@ def main() -> None:
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         print(results[cpus], file=sys.stderr)
-    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    t8, t32 = results[n1]["urls_per_sec"], results[n2]["urls_per_sec"]
     speedup = t32 / t8
     print(
         json.dumps(
             {
                 "machine_ceiling": ceiling,
-                "local8": results[8],
-                "local32": results[32],
+                f"local{n1}": results[n1],
+                f"local{n2}": results[n2],
                 "speedup_8_to_32": round(speedup, 2),
-                "scaling_efficiency_raw": round(speedup / 4, 3),
+                "scaling_efficiency_raw": round(speedup / (n2 / n1), 3),
                 "scaling_efficiency_vs_machine_ceiling": round(
                     speedup / ceiling["pure_compute_speedup_8_to_32"], 3
                 ),
