@@ -103,3 +103,25 @@ def test_synth_flat_matches_scalar_contract():
         exp_ol = [m for k, _t, m, _o in exp if k == "link"]
         got_ol = list(f["ol_vals"][f["ol_offsets"][i]:f["ol_offsets"][i + 1]])
         assert got_ol == exp_ol, u
+
+
+def test_synth_flat_arrow_matches_numpy():
+    """The Arrow-kernel string materialization (production path) is
+    bit-identical to the numpy object-array path across every buffer."""
+    from webcrawler_go_spark.worldgen import World, synth_flat, synth_flat_arrow
+
+    world = World(n_hosts=24, pages_per_host=40, max_links=12)
+    urls = [f"https://host-{h:04d}.test/page/{p}" for h in range(24) for p in range(25)]
+    a = synth_flat(world, urls)
+    b = synth_flat_arrow(world, urls)
+    assert list(a["sp_kind"]) == b["sp_kind"].to_pylist()
+    assert list(a["sp_text"]) == b["sp_text"].to_pylist()
+    assert list(a["sp_media"]) == b["sp_media"].to_pylist()
+    assert list(a["ol_vals"]) == b["ol_vals"].to_pylist()
+    assert list(a["ctype"]) == b["ctype"].to_pylist()
+    assert list(a["err"]) == b["err"].to_pylist()
+    assert (a["sp_offsets"] == b["sp_offsets"]).all()
+    assert (a["sp_off"] == b["sp_off"]).all()
+    assert (a["ol_offsets"] == b["ol_offsets"]).all()
+    assert (a["status"] == b["status"]).all()
+    assert (a["blocked"] == b["blocked"]).all()

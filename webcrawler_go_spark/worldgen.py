@@ -375,27 +375,13 @@ def body_text_of(world: World, url: str) -> str:
     return " ".join(text_spans_of(world, url))
 
 
-def synth_flat(world: World, urls: list[str]) -> dict:
-    """Arrow-ready FLAT synthesis of a whole fetch batch — the fast path
-    behind the mapInArrow kernel (operators/fetch.py).
-
-    Everything ``_synth_arrow`` used to assemble per row is produced here
-    as flat numpy/object buffers in ONE vectorized pass: a single
-    string-hash sweep over the URLs (all six salted hash streams derive
-    from it), ragged span structure via repeat/cumsum, the per-URL
-    deterministic interleave as one global ``np.lexsort`` on
-    (parent, key, queue-index) instead of 64k tiny ``sorted()`` calls,
-    and media/link URL strings as vectorized object-array concatenation.
-    Bit-identical to the scalar ``spans_of`` path — asserted against it
-    in tests/test_crawl_parity.py (span-sequence parity) and
-    tests/test_properties.py.
-
-    Returns a dict of per-row arrays (status, html, ctype, nbytes, err,
-    lastmod_days, blocked) and flat span/outlink buffers (sp_offsets,
-    sp_kind, sp_text, sp_media, sp_off, ol_offsets, ol_vals). Blocked
-    rows (4xx-blocked or bot-phrase pages) emit no spans — the kernel's
-    contract (crawler.go:698-701).
-    """
+def _synth_structure(world: World, urls: list[str]) -> dict:
+    """Shared numeric/index skeleton of the flat batch synthesis: hash
+    streams, per-row dispositions, ragged span structure (repeat/cumsum),
+    and the global interleave order (one ``np.lexsort``). String
+    materialization happens in ``synth_flat`` (numpy object arrays; used
+    by parity tests) or ``synth_flat_arrow`` (Arrow C++ kernels; the
+    production kernel path — zero per-span Python objects)."""
     import numpy as np
 
     from webcrawler_go_spark.hashing import splitmix64_np, str_hash64_np
@@ -415,27 +401,9 @@ def synth_flat(world: World, urls: list[str]) -> dict:
     statuses = np.array(_STATUS_TABLE, dtype=np.int64)[(h1 % u64(100)).astype(np.int64)]
     r3 = (h3 % u64(100)).astype(np.int64)
     html = r3 < 88
-    ctype = np.select(
-        [r3 < 88, r3 < 92, r3 < 95],
-        np.array(
-            [
-                "text/html",
-                "application/pdf",
-                "application/vnd.openxmlformats-officedocument."
-                "wordprocessingml.document",
-            ],
-            dtype=object,
-        ),
-        default="image/jpeg",
-    )
     nbytes = ((u64(500) + h2 % u64(8000)) * (u64(1) << ((h2 >> u64(13)) % u64(8)))).astype(np.int64)
     r4 = (h4 % u64(1000)).astype(np.int64)
     is_err = r4 >= 970
-    err_names = np.array(
-        ["timeout", "connection refused", "no such host", "certificate"],
-        dtype=object,
-    )
-    err = np.where(is_err, err_names[r4 % 4], None)
     lastmod_days = np.where(
         (h5 % u64(2)) == 0, (h5 % u64(365)).astype(np.int64), -1
     ).astype(np.int64)
@@ -449,9 +417,7 @@ def synth_flat(world: World, urls: list[str]) -> dict:
 
     host_is = np.array([_host_page_of(u)[0] for u in urls], dtype=np.int64)
     max_host = int(host_is.max()) + 1 if n else 1
-    hostnames = np.array(
-        [host_name(i) for i in range(max(max_host, world.n_hosts))], dtype=object
-    )
+    n_hostnames = max(max_host, world.n_hosts)
 
     # --- text spans (mirrors text_spans_of) ---
     n_text = np.where(emit, 1 + (h7 % u64(world.max_text_spans)).astype(np.int64), 0)
@@ -466,40 +432,25 @@ def synth_flat(world: World, urls: list[str]) -> dict:
     w_within = np.arange(w_starts[-1]) - np.repeat(w_starts[:-1], n_words)
     with np.errstate(over="ignore"):
         widx = splitmix64_np(sh[w_parent] + w_within.astype(np.uint64)) % u64(len(_WORDS))
-    # plain-list slicing + join is ~2× cheaper than slicing object ndarrays
-    wl = np.array(_WORDS, dtype=object)[widx.astype(np.int64)].tolist()
-    ws = w_starts.tolist()
-    texts_flat = np.array(
-        [" ".join(wl[ws[si]:ws[si + 1]]) for si in range(len(sh))], dtype=object
-    ) if len(sh) else np.empty(0, dtype=object)
     needle = (sh % u64(97)) == 0
-    if needle.any():
-        texts_flat[needle] = texts_flat[needle] + f" {SEARCH_NEEDLE}"
 
     # --- media refs (mirrors media_refs_of) ---
     n_media = np.where(emit, (h8 % u64(world.max_media_spans + 1)).astype(np.int64), 0)
     m_parent = np.repeat(np.arange(n), n_media)
-    m_starts = np.concatenate(([0], np.cumsum(n_media)))
-    m_within = np.arange(m_starts[-1]) - np.repeat(m_starts[:-1], n_media)
+    m_within = np.arange(int(n_media.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_media)))[:-1], n_media
+    )
     with np.errstate(over="ignore"):
         mh = splitmix64_np(h8[m_parent] + u64(977) * m_within.astype(np.uint64))
-    media_pre = np.array(
-        [f"https://{h}/media/" for h in hostnames], dtype=object
-    )
-    dot_ext = np.array([f".{e}" for e in _MEDIA_EXT], dtype=object)
-    m_ext = dot_ext[(mh % u64(len(_MEDIA_EXT))).astype(np.int64)]
+    m_ext_idx = (mh % u64(len(_MEDIA_EXT))).astype(np.int64)
     m_id = (mh % u64(100_000)).astype(np.int64)
-    m_refs = (
-        media_pre[host_is[m_parent]]
-        + m_id.astype(str).astype(object)
-        + m_ext
-    ) if len(m_parent) else np.empty(0, dtype=object)
 
     # --- outlinks (mirrors outlinks_of) ---
     n_links = np.where(emit & html, (h6 % u64(world.max_links + 1)).astype(np.int64), 0)
     l_parent = np.repeat(np.arange(n), n_links)
-    l_starts = np.concatenate(([0], np.cumsum(n_links)))
-    l_within = np.arange(l_starts[-1]) - np.repeat(l_starts[:-1], n_links)
+    l_within = np.arange(int(n_links.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_links)))[:-1], n_links
+    )
     with np.errstate(over="ignore"):
         hh = splitmix64_np(
             h6[l_parent]
@@ -513,10 +464,6 @@ def synth_flat(world: World, urls: list[str]) -> dict:
     skew_host = (world.n_hosts * skew_u * skew_u).astype(np.int64) % world.n_hosts
     l_host = np.where(same, host_is[l_parent], skew_host)
     l_page = ((hh >> u64(17)) % u64(world.pages_per_host)).astype(np.int64)
-    page_pre = np.array([f"https://{h}/page/" for h in hostnames], dtype=object)
-    l_refs = (
-        page_pre[l_host] + l_page.astype(str).astype(object)
-    ) if len(l_parent) else np.empty(0, dtype=object)
 
     # --- interleave: ONE lexsort over (parent, key, queue-index) ---
     qn = n_text + n_media + n_links
@@ -535,16 +482,6 @@ def synth_flat(world: World, urls: list[str]) -> dict:
             np.full(len(l_parent), 2, dtype=np.int8),
         ]
     )
-    q_text = np.concatenate(
-        [
-            texts_flat,
-            np.full(len(m_parent), "", dtype=object),
-            np.full(len(l_parent), "", dtype=object),
-        ]
-    ) if len(q_parent) else np.empty(0, dtype=object)
-    q_media = np.concatenate(
-        [np.full(len(t_parent), "", dtype=object), m_refs, l_refs]
-    ) if len(q_parent) else np.empty(0, dtype=object)
     with np.errstate(over="ignore"):
         keys = splitmix64_np(h9[q_parent] + u64(31) * q_j.astype(np.uint64))
     order = np.lexsort((q_j, keys, q_parent))
@@ -552,24 +489,225 @@ def synth_flat(world: World, urls: list[str]) -> dict:
     sp_starts = np.concatenate(([0], np.cumsum(qn)))
     sp_off = (np.arange(len(order)) - sp_starts[sp_parent]).astype(np.int32)
     kind_sorted = kind_code[order]
-    kind_names = np.array(["text", "media", "link"], dtype=object)
-
-    link_mask = kind_sorted == 2
-    ol_vals = q_media[order][link_mask]
 
     return {
+        "n": n,
+        "r3": r3,
+        "r4": r4,
         "status": statuses,
-        "ctype": ctype,
+        "html": html,
         "nbytes": nbytes,
-        "err": err,
+        "is_err": is_err,
         "lastmod_days": lastmod_days,
         "blocked": blocked,
-        "is_err": is_err,
-        "sp_offsets": sp_starts.astype(np.int64),
-        "sp_kind": kind_names[kind_sorted],
-        "sp_text": q_text[order],
-        "sp_media": q_media[order],
+        "host_is": host_is,
+        "n_hostnames": n_hostnames,
+        "n_text": n_text,
+        "sh_len": len(sh),
+        "w_starts": w_starts,
+        "widx": widx,
+        "needle": needle,
+        "m_parent": m_parent,
+        "m_ext_idx": m_ext_idx,
+        "m_id": m_id,
+        "l_host": l_host,
+        "l_page": l_page,
+        "n_links": n_links,
+        "t_count": len(t_parent),
+        "m_count": len(m_parent),
+        "l_count": len(l_parent),
+        "order": order,
+        "sp_starts": sp_starts,
         "sp_off": sp_off,
-        "ol_offsets": np.concatenate(([0], np.cumsum(n_links))).astype(np.int64),
+        "kind_sorted": kind_sorted,
+    }
+
+
+def synth_flat(world: World, urls: list[str]) -> dict:
+    """Flat synthesis with numpy object-array strings — the parity
+    reference for ``synth_flat_arrow`` (which the kernel uses). Returns
+    per-row arrays (status, nbytes, err, lastmod_days, blocked, is_err)
+    and flat span/outlink buffers (sp_offsets, sp_kind, sp_text,
+    sp_media, sp_off, ol_offsets, ol_vals). Blocked rows (4xx-blocked or
+    bot-phrase pages) emit no spans (crawler.go:698-701)."""
+    import numpy as np
+
+    S = _synth_structure(world, urls)
+    err_names = np.array(
+        ["timeout", "connection refused", "no such host", "certificate"],
+        dtype=object,
+    )
+    err = np.where(S["is_err"], err_names[S["r4"] % 4], None)
+    ctype = np.select(
+        [S["r3"] < 88, S["r3"] < 92, S["r3"] < 95],
+        np.array(
+            [
+                "text/html",
+                "application/pdf",
+                "application/vnd.openxmlformats-officedocument."
+                "wordprocessingml.document",
+            ],
+            dtype=object,
+        ),
+        default="image/jpeg",
+    )
+    hostnames = np.array(
+        [host_name(i) for i in range(S["n_hostnames"])], dtype=object
+    )
+
+    # texts: plain-list slicing + join (cheaper than object-ndarray slices)
+    wl = np.array(_WORDS, dtype=object)[S["widx"].astype(np.int64)].tolist()
+    ws = S["w_starts"].tolist()
+    n_spans = S["sh_len"]
+    texts_flat = np.array(
+        [" ".join(wl[ws[si]:ws[si + 1]]) for si in range(n_spans)], dtype=object
+    ) if n_spans else np.empty(0, dtype=object)
+    if S["needle"].any():
+        texts_flat[S["needle"]] = texts_flat[S["needle"]] + f" {SEARCH_NEEDLE}"
+
+    media_pre = np.array([f"https://{h}/media/" for h in hostnames], dtype=object)
+    dot_ext = np.array([f".{e}" for e in _MEDIA_EXT], dtype=object)
+    m_refs = (
+        media_pre[S["host_is"][S["m_parent"]]]
+        + S["m_id"].astype(str).astype(object)
+        + dot_ext[S["m_ext_idx"]]
+    ) if S["m_count"] else np.empty(0, dtype=object)
+
+    page_pre = np.array([f"https://{h}/page/" for h in hostnames], dtype=object)
+    l_refs = (
+        page_pre[S["l_host"]] + S["l_page"].astype(str).astype(object)
+    ) if S["l_count"] else np.empty(0, dtype=object)
+
+    total = S["t_count"] + S["m_count"] + S["l_count"]
+    q_text = np.concatenate(
+        [
+            texts_flat,
+            np.full(S["m_count"], "", dtype=object),
+            np.full(S["l_count"], "", dtype=object),
+        ]
+    ) if total else np.empty(0, dtype=object)
+    q_media = np.concatenate(
+        [np.full(S["t_count"], "", dtype=object), m_refs, l_refs]
+    ) if total else np.empty(0, dtype=object)
+
+    order = S["order"]
+    kind_names = np.array(["text", "media", "link"], dtype=object)
+    link_mask = S["kind_sorted"] == 2
+    q_media_sorted = q_media[order]
+    return {
+        "status": S["status"],
+        "ctype": ctype,
+        "nbytes": S["nbytes"],
+        "err": err,
+        "lastmod_days": S["lastmod_days"],
+        "blocked": S["blocked"],
+        "is_err": S["is_err"],
+        "sp_offsets": S["sp_starts"].astype(np.int64),
+        "sp_kind": kind_names[S["kind_sorted"]],
+        "sp_text": q_text[order],
+        "sp_media": q_media_sorted,
+        "sp_off": S["sp_off"],
+        "ol_offsets": np.concatenate(([0], np.cumsum(S["n_links"]))).astype(np.int64),
+        "ol_vals": q_media_sorted[link_mask],
+    }
+
+
+_CTYPE_NAMES = [
+    "text/html",
+    "application/pdf",
+    "application/vnd.openxmlformats-officedocument."
+    "wordprocessingml.document",
+    "image/jpeg",
+]
+_ERR_NAMES = ["timeout", "connection refused", "no such host", "certificate"]
+
+
+def synth_flat_arrow(world: World, urls: list[str]) -> dict:
+    """Flat synthesis with ALL strings built by Arrow C++ kernels
+    (dictionary ``take`` + ``binary_join`` + ``cast``) — zero per-span
+    Python string objects. The numpy path allocates ~20M Python strings
+    per 900k URLs, which saturates the allocator/memory bus at high core
+    counts; this path keeps the whole payload in Arrow buffers end to
+    end (the kernel output IS Arrow). Bit-identical to ``synth_flat`` —
+    asserted in tests."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    S = _synth_structure(world, urls)
+    hostnames = [host_name(i) for i in range(S["n_hostnames"])]
+
+    def empties(k: int):
+        return pc.fill_null(pa.nulls(k, pa.string()), "")
+
+    # texts: dictionary take over the 31-word vocab → list array →
+    # C++ binary_join; needle suffix via element-wise join + if_else
+    words_dict = pa.array(_WORDS, type=pa.string())
+    word_vals = pc.take(words_dict, pa.array(S["widx"].astype(np.int64)))
+    word_list = pa.ListArray.from_arrays(
+        pa.array(S["w_starts"].astype(np.int32), pa.int32()), word_vals
+    )
+    texts = pc.binary_join(word_list, " ")
+    if S["needle"].any():
+        texts = pc.if_else(
+            pa.array(S["needle"]),
+            pc.binary_join_element_wise(texts, pa.scalar(SEARCH_NEEDLE), " "),
+            texts,
+        )
+
+    media_pre = pa.array([f"https://{h}/media/" for h in hostnames])
+    dot_ext = pa.array([f".{e}" for e in _MEDIA_EXT])
+    m_refs = pc.binary_join_element_wise(
+        pc.take(media_pre, pa.array(S["host_is"][S["m_parent"]])),
+        pc.cast(pa.array(S["m_id"]), pa.string()),
+        pc.take(dot_ext, pa.array(S["m_ext_idx"])),
+        "",
+    )
+    page_pre = pa.array([f"https://{h}/page/" for h in hostnames])
+    l_refs = pc.binary_join_element_wise(
+        pc.take(page_pre, pa.array(S["l_host"])),
+        pc.cast(pa.array(S["l_page"]), pa.string()),
+        "",
+    )
+
+    order_idx = pa.array(S["order"].astype(np.int64))
+    q_text = pc.take(
+        pa.concat_arrays(
+            [texts, empties(S["m_count"]), empties(S["l_count"])]
+        ),
+        order_idx,
+    )
+    q_media = pc.take(
+        pa.concat_arrays([empties(S["t_count"]), m_refs, l_refs]), order_idx
+    )
+    kind_dict = pa.array(["text", "media", "link"])
+    sp_kind = pc.take(kind_dict, pa.array(S["kind_sorted"].astype(np.int32)))
+    link_mask = pa.array(S["kind_sorted"] == 2)
+    ol_vals = pc.filter(q_media, link_mask)
+
+    ctype_idx = np.select(
+        [S["r3"] < 88, S["r3"] < 92, S["r3"] < 95], [0, 1, 2], default=3
+    ).astype(np.int32)
+    ctype = pc.take(pa.array(_CTYPE_NAMES), pa.array(ctype_idx))
+    err_idx = (S["r4"] % 4).astype(np.int32)
+    err = pc.take(
+        pa.array(_ERR_NAMES),
+        pa.array(err_idx, mask=~S["is_err"]),  # mask=True → null index → null
+    )
+
+    return {
+        "status": S["status"],
+        "ctype": ctype,
+        "nbytes": S["nbytes"],
+        "err": err,
+        "lastmod_days": S["lastmod_days"],
+        "blocked": S["blocked"],
+        "is_err": S["is_err"],
+        "sp_offsets": S["sp_starts"].astype(np.int64),
+        "sp_kind": sp_kind,
+        "sp_text": q_text,
+        "sp_media": q_media,
+        "sp_off": S["sp_off"],
+        "ol_offsets": np.concatenate(([0], np.cumsum(S["n_links"]))).astype(np.int64),
         "ol_vals": ol_vals,
     }
