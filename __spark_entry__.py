@@ -946,6 +946,30 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
 
 
+def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k per query via banded multi-table LSH candidates +
+    quantized-cosine verify + Window top-k (the similarity-search API's
+    headline shape; queries = the 8 lowest vec_ids)."""
+    from webcrawler_go_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_lsh(emb, queries, k=5, n_tables=4, bits_per_table=8)
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: video blobs → every 10th frame, max 8,
+    with 24fps timestamps — mapInPandas plumbing real, codec math the
+    deterministic fake (no codec libs in this container)."""
+    from webcrawler_go_spark.operators.multimodal import (
+        media_blobs_from_documents,
+        sample_frames,
+    )
+
+    blobs = media_blobs_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_frames(blobs, every=10, max_frames=8, use_fake_decoder=True)
+
+
 def q_embedding_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MULTI-TABLE banded hyperplane LSH (the 10^9-vector shape:
     B independent K-bit tables — recall from B, bucket size from K;
@@ -1469,6 +1493,62 @@ WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6
 """
 
 
+def _ann_topk_oracle_sql(
+    n_tables: int = 4, bits_per_table: int = 8, k: int = 5, n_queries: int = 8
+) -> str:
+    """Top-k ANN oracle: same banded bucketing; candidates = corpus rows
+    sharing ≥1 (table, bucket) with a query (vec_id < n_queries), scored
+    by quantized cosine, ranked per query with a deterministic tiebreak."""
+    n_planes = n_tables * bits_per_table
+    signs = ",\n    ".join(
+        f"SUM(CASE WHEN ((ord * {2 * p + 3} + {7 * p}) % 1009) % 2 = 1 "
+        f"THEN qx ELSE -qx END) AS g{p}"
+        for p in range(n_planes)
+    )
+    per_table = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, {t} AS tbl, CAST({expr} AS BIGINT) AS bucket FROM sig".format(
+            t=t,
+            expr=" + ".join(
+                f"(CASE WHEN g{t * bits_per_table + kk} > 0 THEN {1 << kk} ELSE 0 END)"
+                for kk in range(bits_per_table)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    return f"""
+WITH {_QEMB_SQL.strip()},
+sig AS (
+  SELECT vec_id, {signs}
+  FROM qa GROUP BY vec_id
+),
+buckets AS (
+  {per_table}
+),
+cand AS (
+  SELECT DISTINCT bq.vec_id AS query_id, bn.vec_id AS neighbor
+  FROM buckets bq JOIN buckets bn
+    ON bq.tbl = bn.tbl AND bq.bucket = bn.bucket AND bn.vec_id <> bq.vec_id
+  WHERE bq.vec_id < {n_queries}
+),
+dots AS (
+  SELECT c.query_id, c.neighbor, SUM(pq.qx * pn.qx) AS dot
+  FROM cand c
+  JOIN qa pq ON pq.vec_id = c.query_id
+  JOIN qa pn ON pn.vec_id = c.neighbor AND pn.ord = pq.ord
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor,
+         ROUND(dot / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))), 6) AS cosine
+  FROM dots JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nn ON nn.vec_id = neighbor
+)
+SELECT query_id, neighbor, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
 def _semantic_dedup_oracle_sql(n_planes: int = 8, threshold: float = 0.5) -> str:
     """Semantic dedup oracle with the SAME hyperplane-LSH bucketing as
     similarity.lsh_candidate_pairs — candidates come only from shared
@@ -1575,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_capture_join": q_feed_capture_join,
         "csv_sink": q_csv_sink,
         "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,
+        "embedding_ann_topk": q_embedding_ann_topk,
+        "media_frame_sample": q_media_frame_sample,
         "dedup_embedding_semantic": q_dedup_embedding_semantic,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1946,6 +2028,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
         "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
         "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
+        "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),
+        "media_frame_sample": """
+            SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(g * 10 AS INT) AS frame_idx,
+                   CAST((g * 10 * 1000) // 24 AS BIGINT) AS ts_ms
+            FROM documents
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
+            WHERE doc_id % 4 = 2 AND g * 10 < strlen(text) % 240 + 1""",
         "dedup_embedding_semantic": _semantic_dedup_oracle_sql(8, 0.5),
         "text_quality": """
             SELECT doc_id,

@@ -54,3 +54,26 @@ def test_media_decode_real_path_stubbed(spark):
     feats = decode_media(media_blobs_from_documents(docs), use_fake_decoder=False)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         feats.collect()
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampling: only video blobs emit rows; every 10th frame up to
+    8; 24fps integer timestamps; real-decoder path raises."""
+    import pytest
+
+    from webcrawler_go_spark.operators.multimodal import sample_frames
+
+    blobs = spark.createDataFrame(
+        [
+            ("media://v", "video", bytearray(b"x" * 95), {}),
+            ("media://i", "image", bytearray(b"y" * 500), {}),
+        ],
+        "media_ref string, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = sample_frames(blobs, every=10, max_frames=8, use_fake_decoder=True).collect()
+    # 95 bytes → 96 frames → idx 0,10,...,70 (max 8)
+    assert [(r.media_ref, r.frame_idx, r.ts_ms) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        ("media://v", fi, fi * 1000 // 24) for fi in range(0, 80, 10)
+    ]
+    with pytest.raises(Exception):
+        sample_frames(blobs, use_fake_decoder=False).collect()

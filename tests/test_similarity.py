@@ -153,3 +153,35 @@ def test_banded_lsh_bucket_distribution(spark):
     n_buckets = sizes.count()
     assert max_bucket < 400          # no table collapses to one bucket
     assert n_buckets > n_tables * 8  # real spread across cells
+
+
+def test_ann_topk_lsh_matches_exact_on_clusters(spark):
+    """Bucketed top-k finds the true nearest neighbor for clustered
+    vectors (near-identical vectors share every table's bucket)."""
+    import numpy as np
+    from webcrawler_go_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((5, 8))
+    rows = []
+    for c in range(5):
+        for i in range(10):
+            v = base[c] + 0.01 * rng.standard_normal(8)
+            rows.append((c * 10 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id % 10 = 0")
+    got = {
+        (r.query_id, r.rank): r.neighbor
+        for r in ann_topk_lsh(emb, queries, k=3, n_tables=4, bits_per_table=4).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    # rank-1 neighbor: same cluster, and within the exact top-3 (the LSH
+    # path scores with QUANTIZED cosine — near-identical vectors can swap
+    # order vs the float metric, but never leave the cluster)
+    for q in (0, 10, 20, 30, 40):
+        assert got[(q, 1)] in {exact[(q, r)] for r in (1, 2, 3)}
+        assert got[(q, 1)] // 10 == q // 10  # same cluster
+        assert all(got[(q, r)] // 10 == q // 10 for r in (1, 2, 3))

@@ -95,3 +95,56 @@ def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
 
     # codec-homogeneous tasks: one partition decodes one media_type batch
     return blobs.repartition("media_type").mapInPandas(kernel, MEDIA_FEATURES)
+
+
+FRAME_ROWS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+    ]
+)
+
+FAKE_FPS = 24
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every: int = 10,
+    max_frames: int = 8,
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Frame sampling over video blobs via mapInPandas: every ``every``-th
+    frame, at most ``max_frames`` per video, with the frame timestamp at
+    the fake container's 24 fps. Same stub policy as ``decode_media`` —
+    the batch/partitioning/schema plumbing is real; the codec math is a
+    deterministic fake (frame count = payload length mod 240 + 1)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "video decoding requires codec libraries not present "
+                    "in this container; pass use_fake_decoder=True"
+                )
+            vids = b[b["media_type"] == "video"]
+            refs, idxs, tss = [], [], []
+            for ref, payload in zip(vids["media_ref"], vids["payload"]):
+                n_frames = len(payload) % 240 + 1
+                taken = 0
+                for fi in range(0, n_frames, every):
+                    if taken >= max_frames:
+                        break
+                    refs.append(ref)
+                    idxs.append(fi)
+                    tss.append(fi * 1000 // FAKE_FPS)
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                }
+            )
+
+    return blobs.repartition("media_type").mapInPandas(kernel, FRAME_ROWS)

@@ -421,3 +421,75 @@ def lsh_candidate_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN top-k: banded multi-table LSH candidates (corpus rows sharing
+    ≥1 (table, bucket) with the query), verified quantized cosine, per
+    query Window top-k. Recall < 1 by LSH construction; at 10^9 vectors
+    the candidate set per query is ~buckets-worth of rows instead of the
+    corpus. Deterministic tie-break (cosine desc, neighbor asc)."""
+    from pyspark.sql import Window
+
+    dot = _qdot if scale else _dot
+    v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
+
+    def table_bucket(t: int):
+        sig = F.lit(0).cast("long")
+        for kk in range(bits_per_table):
+            p = t * bits_per_table + kk
+            signed = F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
+                F.lit(0).cast("long") if scale else F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(signed > 0, F.lit(1 << kk)).otherwise(F.lit(0))
+        return sig
+
+    buckets = F.posexplode(
+        F.array(*[table_bucket(t) for t in range(n_tables)])
+    ).alias("tbl", "bucket")
+    base_keys = emb.select(F.col(id_col).alias("neighbor"), buckets)
+    q_keys = queries.select(F.col(id_col).alias("query_id"), buckets)
+    cand = (
+        base_keys.join(q_keys, ["tbl", "bucket"])
+        .filter(F.col("neighbor") != F.col("query_id"))
+        .select("query_id", "neighbor")
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), v.alias("q"))
+    vecs = vecs.withColumn("n2", dot(F.col("q"), F.col("q")))
+    qvecs = queries.select(F.col(id_col).alias("id"), v.alias("q"))
+    qvecs = qvecs.withColumn("n2", dot(F.col("q"), F.col("q")))
+    cand = cand.join(
+        vecs.select(
+            F.col("id").alias("neighbor"), F.col("q").alias("qn"), F.col("n2").alias("n2n")
+        ),
+        "neighbor",
+    ).join(
+        F.broadcast(
+            qvecs.select(
+                F.col("id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("n2q")
+            )
+        ),
+        "query_id",
+    )
+    cos = dot(F.col("qn"), F.col("qq")) / (
+        F.sqrt(F.col("n2n").cast("double")) * F.sqrt(F.col("n2q").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
