@@ -946,6 +946,33 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt PARSER (grouping + RFC 9309 §2.2.1 most-specific-group
+    selection + empty-Disallow drop): bodies with a '*' group and — on
+    even hosts — a specific 'ourbot' group; the oracle states the
+    semantic result (specific group REPLACES '*' where present)."""
+    from webcrawler_go_spark.functions.robots import parse_robots_txt
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ks = F.col("k").cast("string")
+    host = F.concat(F.lit("h"), ks, F.lit(".test"))
+    star_grp = F.concat(
+        F.lit("# generated\nUser-agent: *\nDisallow: /a"),
+        ks,
+        F.lit("/\nAllow: /b/\n"),
+    )
+    spec_grp = F.concat(
+        F.lit("\nUser-agent: ourbot\nDisallow: /c"),
+        ks,
+        F.lit("/\nDisallow:\n"),  # empty Disallow = allow-all, no rule
+    )
+    body = F.when(F.col("k") % 2 == 0, F.concat(star_grp, spec_grp)).otherwise(
+        star_grp
+    )
+    bodies = c.select(host.alias("host"), body.alias("body"))
+    return parse_robots_txt(bodies, user_agent="ourbot")
+
+
 def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k per query via banded multi-table LSH candidates +
     quantized-cosine verify + Window top-k (the similarity-search API's
@@ -1656,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_sink": q_csv_sink,
         "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,
         "embedding_ann_topk": q_embedding_ann_topk,
+        "robots_parse": q_robots_parse,
         "media_frame_sample": q_media_frame_sample,
         "dedup_embedding_semantic": q_dedup_embedding_semantic,
         "dedup_exact": q_dedup_exact,
@@ -2029,6 +2057,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
         "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
         "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),
+        "robots_parse": """
+            WITH ks AS (SELECT c_custkey AS k FROM customer)
+            SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host,
+                   'deny' AS rule,
+                   '/c' || CAST(k AS VARCHAR) || '/' AS path_pfx
+            FROM ks WHERE k % 2 = 0
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.test', 'deny',
+                   '/a' || CAST(k AS VARCHAR) || '/'
+            FROM ks WHERE k % 2 = 1
+            UNION ALL
+            SELECT 'h' || CAST(k AS VARCHAR) || '.test', 'allow', '/b/'
+            FROM ks WHERE k % 2 = 1""",
         "media_frame_sample": """
             SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(g * 10 AS INT) AS frame_idx,
