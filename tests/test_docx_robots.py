@@ -166,3 +166,13 @@ def test_pdf_extract_documents_spark(spark):
         ("text", "page one", 0),
         ("text", "page two", 1),
     ]
+
+
+def test_robots_ruleless_specific_group_overrides_star(spark):
+    """A specific group with NO allow/disallow rules (e.g. only
+    Crawl-delay) still overrides '*' — per RFC 9309 that agent is fully
+    allowed, not subject to the '*' denies."""
+    body = "User-agent: ourbot\nCrawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"
+    bodies = spark.createDataFrame([("h.test", body)], "host string, body string")
+    rules = parse_robots_txt(bodies, user_agent="ourbot").collect()
+    assert rules == []  # no rules → everything allowed for ourbot

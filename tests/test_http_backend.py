@@ -68,7 +68,13 @@ def test_http_backend_extracts_spans_and_outlinks():
     assert list(row["spans"]) == want
     kinds = [s["kind"] for s in row["spans"]]
     assert kinds == ["text", "link", "text", "media", "link", "text"]
-    assert list(row["outlinks"]) == ["https://h.test/b", "/rel"]
+    # relative hrefs resolve against the PAGE URL (C2) — unresolved they
+    # would canonicalize hostless and the same-host filter would drop them
+    assert list(row["outlinks"]) == ["https://h.test/b", "https://h.test/rel"]
+    # spans keep the RAW href (span parity); resolution applies to outlinks
+    assert [s["media_ref"] for s in row["spans"] if s["kind"] == "link"] == [
+        "https://h.test/b", "/rel"
+    ]
 
 
 def test_http_backend_headers_ua_by_attempt_and_referer():
@@ -150,7 +156,7 @@ def test_http_backend_through_spark(spark):
     assert [s["kind"] for s in r.spans] == [
         "text", "link", "text", "media", "link", "text"
     ]
-    assert r.outlinks == ["https://h.test/b", "/rel"]
+    assert r.outlinks == ["https://h.test/b", "https://h.test/rel"]
 
 
 def test_http_backend_dispatches_pdf_and_docx():
@@ -198,3 +204,18 @@ def test_http_backend_dispatches_pdf_and_docx():
     assert [s["text"] for s in by_url["https://h.test/a.docx"]["spans"]] == ["docx paragraph"]
     bad = by_url["https://h.test/bad.pdf"]
     assert list(bad["spans"]) == [] and bad["status"] == 200 and bad["error_class"] is None
+
+
+def test_http_backend_binary_types_produce_no_garbage_spans():
+    """Non-text non-document types (e.g. image/png) must not decode the
+    binary body into a garbage text span."""
+    pages = {
+        "https://h.test/pic.png": FakeResp(200, "image/png", "\x89PNG\x00binary"),
+        "https://h.test/data.json": FakeResp(200, "application/json", '{"a": 1}'),
+    }
+    out, _ = run_kernel(
+        [("https://h.test/pic.png", 1, "h.test", 1, 0, 0),
+         ("https://h.test/data.json", 2, "h.test", 2, 0, 0)], pages)
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    assert list(by_url["https://h.test/pic.png"]["spans"]) == []
+    assert [s["text"] for s in by_url["https://h.test/data.json"]["spans"]] == ['{"a": 1}']

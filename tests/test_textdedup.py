@@ -123,3 +123,20 @@ def test_stratified_sample_deterministic_and_rated(spark):
     n_b = sum(1 for _, s in r1 if s == "b")
     assert n_a == 2000                               # rate 1.0 keeps all
     assert 350 < n_b < 650                           # rate .25 of 2000 ±ε
+
+
+def test_stratified_sample_negative_keys(spark):
+    """Negative keys (signed 64-bit hashes) must respect the rate — the
+    draw uses pmod, not Spark's sign-preserving %."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.textanalysis import stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("doc_id"),
+        F.lit("s").alias("stratum"),
+    )
+    kept = stratified_sample(docs, "stratum", {"s": 0.1})
+    n = kept.count()
+    assert 250 < n < 550, n  # ~10% of 4000, not ~55%
+    assert stratified_sample(docs, "stratum", {"s": 0.0}).count() == 0

@@ -53,15 +53,18 @@ def parse_robots_txt(
         ).over(w),
     )
     ua = user_agent.lower()
-    rules = grouped.filter(F.col("key").isin("allow", "disallow")).filter(
-        F.col("agent").isin("*", ua)
-    )
-    # most-specific group wins: per host, if ANY rule comes from the
-    # exact-agent group, the '*' group is dropped entirely for that host
+    # most-specific group wins: per host, if the exact-agent group EXISTS
+    # (even rule-less — e.g. only a Crawl-delay, which per RFC 9309 means
+    # that agent is fully allowed), the '*' group is dropped for that
+    # host. Detected over ALL directives, BEFORE narrowing to
+    # allow/disallow, so rule-less specific groups are seen.
     w_host = Window.partitionBy("host")
-    rules = rules.withColumn(
+    grouped = grouped.withColumn(
         "_has_specific",
         F.max(F.when(F.col("agent") == ua, 1).otherwise(0)).over(w_host),
+    )
+    rules = grouped.filter(F.col("key").isin("allow", "disallow")).filter(
+        F.col("agent").isin("*", ua)
     ).filter(
         (F.col("agent") == ua)
         | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))

@@ -351,6 +351,7 @@ def _http_kernel(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import requests  # deferred: not needed for synthetic runs
+        from urllib.parse import urljoin
 
         session = requests.Session()
         session.max_redirects = max_redirects
@@ -382,11 +383,17 @@ def _http_kernel(
                 try:
                     resp = do_request(method, r.url_norm, headers)
                     ctype = resp.headers.get("Content-Type", "")
-                    body = resp.text if method == "GET" else ""
                     is_html = "text/html" in ctype
-                    lower = body.lower()
+                    is_texty = ctype.startswith("text/") or (
+                        "json" in ctype or "xml" in ctype
+                    )
+                    # decode (charset detection) ONLY for textual bodies —
+                    # resp.text over a multi-MB PDF/image is wasted work
+                    # producing garbage; binary types go through the C7
+                    # dispatch on raw bytes
+                    body = resp.text if (method == "GET" and is_texty) else ""
                     bot_blocked = is_html and any(
-                        s in lower for s in BOT_INDICATORS
+                        s in body.lower() for s in BOT_INDICATORS
                     )
                     blocked = resp.status_code in BLOCKED_STATUSES or bot_blocked
                     if resp.status_code == 200 and not blocked:
@@ -400,8 +407,15 @@ def _http_kernel(
                         spans, outlinks = [], []
                     elif is_html:
                         spans = extract_spans_from_html(body)
+                        # hrefs resolve against the PAGE URL (C2,
+                        # crawler.go:966-975) — relative links are most of
+                        # a real site's links; unresolved they canonicalize
+                        # to a hostless URL the same-host filter drops,
+                        # silently truncating the crawl after round 0
                         outlinks = [
-                            s["media_ref"] for s in spans if s["kind"] == "link"
+                            urljoin(r.url_norm, s["media_ref"])
+                            for s in spans
+                            if s["kind"] == "link"
                         ]
                     elif doc_spans is not None:
                         spans, outlinks = doc_spans, []

@@ -303,6 +303,22 @@ def _banded_sign_term(p: int):
     ).otherwise(-x)
 
 
+def _banded_table_bucket(v, scale, t: int, bits_per_table: int):
+    """K-bit bucket of banded table ``t`` over vector column ``v`` — the
+    ONE signature builder shared by every banded-LSH path (pairs, top-k)
+    and mirrored by the DuckDB oracles."""
+    sig = F.lit(0).cast("long")
+    for k in range(bits_per_table):
+        p = t * bits_per_table + k
+        signed = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
+            F.lit(0).cast("long") if scale else F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return sig
+
+
 def lsh_candidate_pairs_banded(
     emb: DataFrame,
     n_tables: int = 4,
@@ -328,23 +344,11 @@ def lsh_candidate_pairs_banded(
     dot = _qdot if scale else _dot
     v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
 
-    def table_bucket(t: int):
-        sig = F.lit(0).cast("long")
-        for k in range(bits_per_table):
-            p = t * bits_per_table + k
-            signed = F.aggregate(
-                F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
-                F.lit(0).cast("long") if scale else F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        return sig
-
     # bucket join moves ONLY (id, tbl, bucket) — the B-fold explosion
     # never carries vector payloads; vectors join back for the verify
     keys = emb.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[table_bucket(t) for t in range(n_tables)])).alias(
+        F.posexplode(F.array(*[_banded_table_bucket(v, scale, t, bits_per_table) for t in range(n_tables)])).alias(
             "tbl", "bucket"
         ),
     )
@@ -443,20 +447,8 @@ def ann_topk_lsh(
     dot = _qdot if scale else _dot
     v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
 
-    def table_bucket(t: int):
-        sig = F.lit(0).cast("long")
-        for kk in range(bits_per_table):
-            p = t * bits_per_table + kk
-            signed = F.aggregate(
-                F.zip_with(v, F.sequence(F.lit(1), F.size(v)), _banded_sign_term(p)),
-                F.lit(0).cast("long") if scale else F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(signed > 0, F.lit(1 << kk)).otherwise(F.lit(0))
-        return sig
-
     buckets = F.posexplode(
-        F.array(*[table_bucket(t) for t in range(n_tables)])
+        F.array(*[_banded_table_bucket(v, scale, t, bits_per_table) for t in range(n_tables)])
     ).alias("tbl", "bucket")
     base_keys = emb.select(F.col(id_col).alias("neighbor"), buckets)
     q_keys = queries.select(F.col(id_col).alias("query_id"), buckets)

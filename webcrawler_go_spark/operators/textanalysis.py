@@ -157,11 +157,13 @@ def stratified_sample(
         if rate_expr is not None
         else F.lit(default_rate)
     )
-    # key mod P FIRST: (P-1)·A ≈ 2.6e18 stays inside int64, so the draw
-    # is overflow-free (and engine-identical) for keys of any magnitude
-    draw = (
-        ((F.col(key_col).cast("long") % F.lit(SAMPLE_P)) * F.lit(SAMPLE_A))
-        % F.lit(SAMPLE_P)
+    # pmod (NOT %: Spark's % keeps the dividend's sign, so a negative
+    # hash key would make the draw negative and pass ANY rate threshold);
+    # key pmod P FIRST: (P-1)·A ≈ 2.6e18 stays inside int64, so the draw
+    # is overflow-free (and engine-identical) for keys of any sign/size
+    draw = F.pmod(
+        F.pmod(F.col(key_col).cast("long"), F.lit(SAMPLE_P)) * F.lit(SAMPLE_A),
+        F.lit(SAMPLE_P),
     ) % F.lit(scale)
     return docs.withColumn("_rate", rate_expr).filter(
         draw < (F.col("_rate") * scale).cast("long")

@@ -47,36 +47,56 @@ def _crawl(
     return eng
 
 
+def _final_attempt(log: DataFrame) -> DataFrame:
+    """One row per URL = the LAST fetch attempt (the fetch_log keeps one
+    row per attempt; retried URLs would otherwise emit duplicate and
+    contradictory mode rows). seq packs (round, host_rank) so max(seq)
+    is the latest attempt."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def search_mode_results(eng: CrawlEngine, target: str) -> DataFrame:
     """Modes 1-2 (search-link / search-word): pages whose extracted text
     spans contain the case-sensitive target — one predicate for
-    HTML/PDF/DOCX thanks to the C7 dispatch upstream."""
+    HTML/PDF/DOCX thanks to the C7 dispatch upstream. Joined to the
+    FINAL fetch attempt so a retried page reports one definitive row."""
     docs = eng.documents()
-    log = eng.fetch_log()
+    log = _final_attempt(eng.fetch_log())
     hits = docs.filter(
         F.exists(
             "spans", lambda s: (s["kind"] == "text") & s["text"].contains(target)
         )
-    ).select(F.col("doc_id").alias("url"))
+    ).select(F.col("doc_id").alias("url")).distinct()
     return hits.join(log, "url").select(
         "url", "status", "content_type", "bytes"
     )
 
 
 def broken_links_results(eng: CrawlEngine) -> DataFrame:
-    """Mode 3: every discovered link joined to its own fetch disposition;
-    broken = 4xx/5xx, network error, or never fetchable."""
+    """Mode 3: every discovered link joined to its FINAL fetch
+    disposition; broken = last attempt ended 4xx/5xx or in a network
+    error. A link that failed once but succeeded on retry is NOT broken
+    (the reference re-probes and only records the final outcome); links
+    the crawl never fetched (budget/rounds exhausted) are out of scope —
+    they have no disposition to report."""
     links = eng.documents().select(
         F.col("doc_id").alias("found_on"),
         F.explode(
             F.filter("spans", lambda s: s["kind"] == "link")
         ).alias("sp"),
     ).select("found_on", F.col("sp.media_ref").alias("broken_url"))
-    log = eng.fetch_log().select(
+    log = _final_attempt(eng.fetch_log()).select(
         F.col("url").alias("broken_url"), "status", "error_class"
     )
     return (
-        links.join(log, "broken_url", "left")
+        links.join(log, "broken_url")
         .filter(
             (F.col("status") >= 400)
             | F.col("error_class").isNotNull()
