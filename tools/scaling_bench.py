@@ -186,22 +186,36 @@ def main() -> None:
     # cluster sizes N and 4N — any N; smaller pairs stay under the box's
     # shared-memory-bus saturation and expose the engine's own scaling)
     n1, n2 = 8, 32
-    if len(sys.argv) > 3 and sys.argv[1] == "--pair":
-        n1, n2 = int(sys.argv[2]), int(sys.argv[3])
+    repeat = 1
+    args = sys.argv[1:]
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if len(args) > 2 and args[0] == "--pair":
+        n1, n2 = int(args[1]), int(args[2])
     ceiling = machine_ceiling(n1, n2)
     print(ceiling, file=sys.stderr)
     results = {}
-    for cpus in (n1, n2):
-        # pin the WHOLE process tree (JVM + Python UDF workers) to `cpus`
-        # cores — otherwise local[8]'s Python workers silently use all 32
-        # cores and the comparison understates real cluster scaling
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
-             "--one", str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-        print(results[cpus], file=sys.stderr)
+    # --repeat R: run the two configs ALTERNATELY R times and keep each
+    # config's best — the shared VM's throughput drifts minute-to-minute,
+    # and a drift between the n1 run and the n2 run (they are ~4 minutes
+    # apart) otherwise dominates the measured ratio
+    for _ in range(repeat):
+        for cpus in (n1, n2):
+            # pin the WHOLE process tree (JVM + Python UDF workers) to
+            # `cpus` cores — otherwise local[8]'s Python workers silently
+            # use all 32 cores and the comparison understates real
+            # cluster scaling
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+                 "--one", str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in results or r["secs"] < results[cpus]["secs"]:
+                results[cpus] = r
+            print(r, file=sys.stderr)
     t8, t32 = results[n1]["urls_per_sec"], results[n2]["urls_per_sec"]
     speedup = t32 / t8
     print(
