@@ -784,9 +784,30 @@ def q_targets_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.distinct()
 
 
+def _url_hash31_oracle_sql() -> str:
+    """The corpus has exactly 100 distinct query strings (session=0..99);
+    the oracle joins a VALUES table of their hash31_hex8 values computed
+    by the SCALAR implementation (unit-tested against Go golden values,
+    pdfcapture.go:556-562) — the distributed Arrow UDF must match."""
+    from webcrawler_go_spark.hashing import hash31_hex8
+
+    vals = ",\n              ".join(
+        f"('session={n}', '{hash31_hex8(f'session={n}')}')" for n in range(100)
+    )
+    return (
+        f"WITH corpus AS ({URL_CORPUS_SQL}),\n"
+        f"golden(query, hash8) AS (VALUES {vals})\n"
+        "SELECT c.url, g.query, g.hash8\n"
+        "FROM corpus c JOIN golden g\n"
+        "  ON g.query = regexp_extract(c.url, '\\?([^#]*)', 1)\n"
+        "WHERE regexp_extract(c.url, '\\?([^#]*)', 1) <> ''"
+    )
+
+
 def q_url_hash31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 (rows-only): Go-parity filename hash over query strings via the
-    Arrow UDF; exact golden values are unit-tested (pdfcapture.go:556-562)."""
+    """C3: Go-parity filename hash over query strings via the Arrow UDF;
+    oracle = VALUES of the scalar implementation's hashes (golden-tested,
+    pdfcapture.go:556-562)."""
     from webcrawler_go_spark.functions.urls import hash31_hex8_udf
 
     c = url_corpus(spark, sf_dir)
@@ -797,26 +818,53 @@ def q_url_hash31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAD_PROBE_WORLD_URLS = [
+    f"https://host-{h:04d}.test/page/{p}" for h in range(30) for p in range(10)
+]
+
+
 def q_head_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 (rows-only): HEAD-probe surface — same fetch kernel, no body:
-    per-URL status for link validation (crawler.go:869-882)."""
+    """S4: HEAD-probe surface — same fetch kernel, no body: per-URL
+    status for link validation (crawler.go:869-882). Probes a fixed
+    world-grammar URL set; the oracle is built from the SEQUENTIAL
+    scalar reference functions (the crawl-parity ground truth), so the
+    distributed kernel's dispositions are value-checked end to end."""
     from webcrawler_go_spark.operators.fetch import fetch_frontier
     from webcrawler_go_spark.worldgen import World
 
-    fr = (
-        canon_corpus(spark, sf_dir)
-        .limit(2000)
-        .select(
-            "url_norm",
-            F.xxhash64("url_norm").alias("url_hash"),
-            "host",
-            "path",
-            F.monotonically_increasing_id().alias("seq"),
-            F.lit(0).alias("round"),
-        )
+    fr = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(HEAD_PROBE_WORLD_URLS)],
+        "url_norm string, seq long",
+    ).select(
+        "url_norm",
+        F.xxhash64("url_norm").alias("url_hash"),
+        F.regexp_extract("url_norm", r"https://([^/]*)", 1).alias("host"),
+        F.regexp_extract("url_norm", r"https://[^/]*(/.*)", 1).alias("path"),
+        "seq",
+        F.lit(0).alias("round"),
     )
     probed = fetch_frontier(fr, World(), method="HEAD")
     return probed.select("url", "status", "error_class")
+
+
+def _head_probe_oracle_sql() -> str:
+    """VALUES oracle computed from the scalar worldgen reference — the
+    same independent sequential implementation the parity suite trusts."""
+    from webcrawler_go_spark import worldgen
+    from webcrawler_go_spark.worldgen import World
+
+    w = World()
+    rows = []
+    for u in HEAD_PROBE_WORLD_URLS:
+        e = worldgen.error_class_of(w, u)
+        s = 0 if e is not None else worldgen.status_of(w, u)
+        e_sql = "NULL" if e is None else f"'{e}'"
+        rows.append(f"('{u}', {s}, {e_sql})")
+    vals = ",\n              ".join(rows)
+    return (
+        "SELECT url, CAST(status AS INT) AS status, CAST(error_class AS VARCHAR) AS error_class\n"
+        f"            FROM (VALUES {vals}) AS t(url, status, error_class)"
+    )
 
 
 def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,9 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "events_window_agg": q_events_window_agg,
+        "url_hash31": q_url_hash31,            # golden-VALUES oracle (r2)
+        "head_probe": q_head_probe,            # scalar-reference oracle (r2)
         # (5) rows-only (no SQL-expressible oracle)
-        "url_hash31": q_url_hash31,            # rows-only (Go-parity UDF)
-        "head_probe": q_head_probe,            # rows-only (kernel surface)
         "embedding_ivf_topk": q_embedding_ivf_topk,  # rows-only (iterative k-means)
         "crawl_multiround": q_crawl_multiround,  # rows-only (full engine, slow)
     }
@@ -2057,6 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
         "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
         "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),
+        "url_hash31": _url_hash31_oracle_sql(),
+        "head_probe": _head_probe_oracle_sql(),
         "robots_parse": """
             WITH ks AS (SELECT c_custkey AS k FROM customer)
             SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host,
