@@ -2225,27 +2225,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
             ) GROUP BY 1, 2""",
         "events_sessionize": """
+            -- session_id must be CAST to BIGINT: DuckDB SUM(int) yields HUGEINT,
+            -- which pandas renders float64 and the driver hash sees 3.0 != 3.
             SELECT user_id, session_id,
                    COUNT(*) AS n_events,
                    MIN(ts) AS session_start,
                    MAX(ts) AS session_end
             FROM (
               SELECT user_id, ts,
-                     SUM(CASE WHEN prev_ts IS NULL
+                     CAST(SUM(CASE WHEN prev_ts IS NULL
                               OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
                                  - CAST(floor(date_part('epoch', prev_ts)) AS BIGINT) > 1800
                          THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM (
                 SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                 FROM events
               )
             ) GROUP BY 1, 2""",
         "events_error_rate": """
+            -- n_errors must be CAST to BIGINT (HUGEINT -> pandas float64 otherwise).
             SELECT make_timestamp(win_id * 3600 * 1000000) AS win_start,
                    COUNT(*) AS n_total,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                    ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / COUNT(*), 6) AS error_rate
             FROM (
               SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events

@@ -13,6 +13,7 @@ import math
 import sys
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -26,20 +27,33 @@ TABLES = [
 
 
 def _norm(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
+    """Normalize a pandas-materialized value for hashing.
+
+    Deliberately dtype-STRICT on int-vs-float (repr(3.0) != str(3)): the
+    driver compares pandas frames, where e.g. DuckDB SUM(int) -> HUGEINT
+    -> float64 while Spark gives int64 — that mismatch must FAIL here too
+    (it caused the round-2 events_sessionize / events_error_rate FAILs).
+    """
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅" if v is None else "nan"
+    if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, (dt.datetime,)):
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, dt.datetime):
+        # Driver-observed behavior: Spark DATE (-> datetime.date) hashes equal
+        # to DuckDB DATE (-> midnight datetime64). Collapse exact midnights.
+        if v.time() == dt.time(0, 0) and v.tzinfo is None:
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return str(v)
 
 
@@ -72,14 +86,19 @@ def main(names: list[str]) -> int:
     for name in targets:
         try:
             sdf = qs[name](spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
             if name not in oracles:
                 print(f"  {name:28s} rows-only: {len(srows)} rows (no oracle)")
                 continue
-            rel = con.sql(oracles[name])
-            ocols = rel.columns
-            orows = rel.fetchall()
+            opdf = con.sql(oracles[name]).df()
+            # pandas NaT -> None so both engines' nulls normalize alike
+            opdf = opdf.astype(object).where(opdf.notna(), None)
+            spdf2 = spdf.astype(object).where(spdf.notna(), None)
+            srows = [tuple(r) for r in spdf2.itertuples(index=False, name=None)]
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
             problems = []
             if len(srows) != len(orows):
                 problems.append(f"rows {len(srows)} vs {len(orows)}")
