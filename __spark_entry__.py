@@ -867,6 +867,86 @@ def _head_probe_oracle_sql() -> str:
     )
 
 
+def _ivf_topk_oracle_sql(k: int = 5, n_cells: int = 8, n_queries: int = 8) -> str:
+    """Golden VALUES oracle for embedding_ivf_topk (the head_probe
+    pattern): an independent numpy re-implementation of the DETERMINISTIC
+    IVF pipeline — seeds = n_cells lowest vec_ids, 2 Lloyd steps, nprobe=1
+    — evaluated over the driver's sf0.01 embeddings table.
+
+    Float semantics mirror similarity.py exactly: element ops ((a-b)², x·y,
+    x²) in float32, accumulation sequential left-to-right in float64
+    (= F.aggregate), Lloyd means in float64 cast to float32, cosine
+    rounded HALF_UP to 6 (= F.round). Cell means are the one spot where
+    Spark's addition order is partition-dependent — the float32 cast of
+    the mean swallows that (double-sum noise ~1e-15 vs float32 quantum
+    ~6e-8)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+
+    def seq_sum64(arr32: np.ndarray) -> float:
+        acc = 0.0
+        for x in arr32:
+            acc += float(x)
+        return acc
+
+    def assign(cents: np.ndarray) -> np.ndarray:
+        # L2 argmin, diffs/squares in float32, sums in float64; ties → lowest cell
+        cells = np.empty(len(vecs), dtype=np.int64)
+        for i, v in enumerate(vecs):
+            d = (v[None, :] - cents) * (v[None, :] - cents)  # float32
+            d2 = [seq_sum64(row) for row in d]
+            cells[i] = int(np.argmin(d2))  # first occurrence = lowest cell id
+        return cells
+
+    cents = vecs[:n_cells].copy()
+    for _ in range(2):
+        cells = assign(cents)
+        for c in range(n_cells):
+            members = vecs[cells == c]
+            if len(members):
+                cents[c] = members.astype(np.float64).mean(axis=0).astype(np.float32)
+    final_cells = assign(cents)
+
+    def r6(x: float) -> float:
+        # repr(x) = shortest round-trip decimal = java BigDecimal.valueOf
+        # semantics inside Spark's round(); Decimal(x) (exact binary
+        # expansion) would diverge at rounding boundaries.
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] >= n_queries:
+            continue
+        qcell = final_cells[qi]
+        qv = vecs[qi]
+        nq = seq_sum64(qv * qv) ** 0.5
+        scored = []
+        for ni in range(len(ids)):
+            if final_cells[ni] != qcell or ids[ni] == ids[qi]:
+                continue
+            nv = seq_sum64(vecs[ni] * vecs[ni]) ** 0.5
+            cos = r6(seq_sum64(qv * vecs[ni]) / (nv * nq))
+            scored.append((-cos, int(ids[ni]), cos))
+        scored.sort()
+        for rank, (_, nid, cos) in enumerate(scored[:k], 1):
+            rows.append(f"({int(ids[qi])}, {nid}, {cos!r}, {rank})")
+    vals = ",\n              ".join(rows)
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor AS BIGINT) AS neighbor,\n"
+        "       CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank\n"
+        f"FROM (VALUES {vals}) AS t(query_id, neighbor, cosine, rank)"
+    )
+
+
 def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the COMPLETE batch-iterative engine end-to-end — seed →
     3 rounds of canonicalize/dedup/schedule/fetch/extract/requeue with
@@ -987,11 +1067,18 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets + in-bucket verification."""
-    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs
+    """ANN near-pairs via banded multi-table LSH at the LARGE-CORPUS
+    operating point (B=8 tables × K=10 bits vs the banded query's 4×8):
+    more tables recovers the recall that the more selective 2^10-bucket
+    tables give up — the knob you turn UP as n grows. Rerouted from the
+    single-table 2^8-bucket signature in round 3 — one K-bit table is a
+    quadratic-verify bomb at 10^9 vectors (round-2 verdict)."""
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs_banded
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_candidate_pairs(emb, n_planes=8, threshold=0.15, scale=1000)
+    return lsh_candidate_pairs_banded(
+        emb, n_tables=8, bits_per_table=10, threshold=0.15, scale=1000
+    )
 
 
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,12 +1151,14 @@ def q_dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id, neighbors). Recall < 1 by LSH construction — the oracle
     applies the identical bucketing, so results match exactly. One-pass
     canonicalization (the full transitive closure is an iterative driver
-    loop at scale)."""
-    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs
+    loop at scale — see q_dedup_semantic_closure)."""
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs_banded
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = lsh_candidate_pairs(emb, n_planes=8, threshold=0.5, scale=1000)
+    pairs = lsh_candidate_pairs_banded(
+        emb, n_tables=4, bits_per_table=8, threshold=0.5, scale=1000
+    )
     neighbors = pairs.select(
         F.col("a").alias("doc_id"), F.col("b").alias("nbr")
     ).unionByName(pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("nbr")))
@@ -1080,6 +1169,24 @@ def q_dedup_embedding_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_id"
         ),
     )
+
+
+def q_dedup_semantic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup canonicalization: banded-LSH verified
+    pairs → connected components via iterated min-label propagation →
+    canonical = MIN doc id of the duplicate CLUSTER. Chains A~B~C
+    collapse to one canonical even when the A~C pair was never emitted
+    (the piece one-pass q_dedup_embedding_semantic lacks; round-2
+    verdict directive #4). Oracle = recursive CTE over the same pairs."""
+    from webcrawler_go_spark.operators.components import canonicalize_closure
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs_banded
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs_banded(
+        emb, n_tables=4, bits_per_table=8, threshold=0.5, scale=1000
+    )
+    return canonicalize_closure(docs, pairs)
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,40 +1598,10 @@ n2 AS (SELECT vec_id, SUM(qx * qx) AS n2 FROM qa GROUP BY vec_id)
 """
 
 
-def _ann_oracle_sql(n_planes: int = 8, threshold: float = 0.15) -> str:
-    signs = ",\n    ".join(
-        f"SUM(CASE WHEN ((ord * {2 * k + 3}) % 7) % 2 = 1 THEN qx ELSE -qx END) AS g{k}"
-        for k in range(n_planes)
-    )
-    bucket = " + ".join(
-        f"(CASE WHEN g{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(n_planes)
-    )
-    return f"""
-WITH {_QEMB_SQL.strip()},
-sig AS (
-  SELECT vec_id, {signs}
-  FROM qa GROUP BY vec_id
-),
-buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM sig),
-dots AS (
-  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
-  FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
-  JOIN buckets ba ON ba.vec_id = a.vec_id
-  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
-  GROUP BY 1, 2
-)
-SELECT a, b, ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
-FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
-WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {threshold}
-"""
-
-
-def _ann_banded_oracle_sql(
-    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.15
-) -> str:
-    """Oracle for the multi-table LSH: same mod-1009 affine plane family,
-    buckets per table UNION ALL'd, candidates distinct over tables,
-    verified quantized cosine."""
+def _banded_cte_parts(n_tables: int, bits_per_table: int) -> tuple[str, str]:
+    """(signs, per_table) SQL fragments for the banded multi-table LSH
+    bucketing — the single source of truth mirrored against
+    similarity._banded_table_bucket, shared by every banded oracle."""
     n_planes = n_tables * bits_per_table
     signs = ",\n    ".join(
         f"SUM(CASE WHEN ((ord * {2 * p + 3} + {7 * p}) % 1009) % 2 = 1 "
@@ -1541,6 +1618,16 @@ def _ann_banded_oracle_sql(
         )
         for t in range(n_tables)
     )
+    return signs, per_table
+
+
+def _ann_banded_oracle_sql(
+    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.15
+) -> str:
+    """Oracle for the multi-table LSH: same mod-1009 affine plane family,
+    buckets per table UNION ALL'd, candidates distinct over tables,
+    verified quantized cosine."""
+    signs, per_table = _banded_cte_parts(n_tables, bits_per_table)
     return f"""
 WITH {_QEMB_SQL.strip()},
 sig AS (
@@ -1574,22 +1661,7 @@ def _ann_topk_oracle_sql(
     """Top-k ANN oracle: same banded bucketing; candidates = corpus rows
     sharing ≥1 (table, bucket) with a query (vec_id < n_queries), scored
     by quantized cosine, ranked per query with a deterministic tiebreak."""
-    n_planes = n_tables * bits_per_table
-    signs = ",\n    ".join(
-        f"SUM(CASE WHEN ((ord * {2 * p + 3} + {7 * p}) % 1009) % 2 = 1 "
-        f"THEN qx ELSE -qx END) AS g{p}"
-        for p in range(n_planes)
-    )
-    per_table = "\n  UNION ALL\n  ".join(
-        "SELECT vec_id, {t} AS tbl, CAST({expr} AS BIGINT) AS bucket FROM sig".format(
-            t=t,
-            expr=" + ".join(
-                f"(CASE WHEN g{t * bits_per_table + kk} > 0 THEN {1 << kk} ELSE 0 END)"
-                for kk in range(bits_per_table)
-            ),
-        )
-        for t in range(n_tables)
-    )
+    signs, per_table = _banded_cte_parts(n_tables, bits_per_table)
     return f"""
 WITH {_QEMB_SQL.strip()},
 sig AS (
@@ -1624,37 +1696,48 @@ SELECT query_id, neighbor, cosine, CAST(rnk AS INT) AS rank FROM (
 """
 
 
-def _semantic_dedup_oracle_sql(n_planes: int = 8, threshold: float = 0.5) -> str:
-    """Semantic dedup oracle with the SAME hyperplane-LSH bucketing as
-    similarity.lsh_candidate_pairs — candidates come only from shared
-    buckets, then verified cosine ≥ threshold, then min-neighbor
-    canonicalization."""
-    signs = ",\n    ".join(
-        f"SUM(CASE WHEN ((ord * {2 * k + 3}) % 7) % 2 = 1 THEN qx ELSE -qx END) AS g{k}"
-        for k in range(n_planes)
-    )
-    bucket = " + ".join(
-        f"(CASE WHEN g{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(n_planes)
-    )
-    return f"""
-WITH {_QEMB_SQL.strip()},
+def _semantic_pairs_cte(
+    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.5
+) -> str:
+    """Shared CTE chain ending in ``pairs(a, b)``: banded multi-table LSH
+    candidates (same bucketing as similarity.lsh_candidate_pairs_banded),
+    verified quantized cosine ≥ threshold."""
+    signs, per_table = _banded_cte_parts(n_tables, bits_per_table)
+    return f"""{_QEMB_SQL.strip()},
 sig AS (
   SELECT vec_id, {signs}
   FROM qa GROUP BY vec_id
 ),
-buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM sig),
+buckets AS (
+  {per_table}
+),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS a, bb.vec_id AS b
+  FROM buckets ba JOIN buckets bb
+    ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+),
 dots AS (
-  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
-  FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
-  JOIN buckets ba ON ba.vec_id = a.vec_id
-  JOIN buckets bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+  SELECT c.a, c.b, SUM(pa.qx * pb.qx) AS dot
+  FROM cand c
+  JOIN qa pa ON pa.vec_id = c.a
+  JOIN qa pb ON pb.vec_id = c.b AND pb.ord = pa.ord
   GROUP BY 1, 2
 ),
 pairs AS (
   SELECT a, b FROM dots
   JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
   WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {threshold}
-),
+)"""
+
+
+def _semantic_dedup_oracle_sql(
+    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.5
+) -> str:
+    """Semantic dedup oracle over the banded-LSH verified pairs, one-pass
+    min-neighbor canonicalization (transitive closure is the separate
+    dedup_semantic_closure query)."""
+    return f"""
+WITH {_semantic_pairs_cte(n_tables, bits_per_table, threshold)},
 neighbors AS (
   SELECT a AS doc_id, b AS nbr FROM pairs
   UNION ALL
@@ -1664,6 +1747,30 @@ best AS (SELECT doc_id, MIN(nbr) AS min_nbr FROM neighbors GROUP BY doc_id)
 SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(best.min_nbr, d.doc_id)) AS canonical_id
 FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+"""
+
+
+def _semantic_closure_oracle_sql(
+    n_tables: int = 4, bits_per_table: int = 8, threshold: float = 0.5
+) -> str:
+    """Transitive-closure oracle: same banded pairs, then min reachable
+    label per node via a recursive CTE (UNION dedups → terminates)."""
+    return f"""
+WITH RECURSIVE {_semantic_pairs_cte(n_tables, bits_per_table, threshold)},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lbl) AS canon FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(comp.canon, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
@@ -1734,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "media_frame_sample": q_media_frame_sample,
         "dedup_embedding_semantic": q_dedup_embedding_semantic,
+        "dedup_semantic_closure": q_dedup_semantic_closure,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2102,7 +2210,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
             FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
             WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
-        "embedding_ann_lsh": _ann_oracle_sql(8, 0.15),
+        "embedding_ann_lsh": _ann_banded_oracle_sql(8, 10, 0.15),
         "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
         "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),
         "url_hash31": _url_hash31_oracle_sql(),
@@ -2127,7 +2235,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
             WHERE doc_id % 4 = 2 AND g * 10 < strlen(text) % 240 + 1""",
-        "dedup_embedding_semantic": _semantic_dedup_oracle_sql(8, 0.5),
+        "dedup_embedding_semantic": _semantic_dedup_oracle_sql(4, 8, 0.5),
+        "dedup_semantic_closure": _semantic_closure_oracle_sql(4, 8, 0.5),
+        "embedding_ivf_topk": _ivf_topk_oracle_sql(5, 8, 8),
         "text_quality": """
             SELECT doc_id,
                    n_chars_m, n_tokens, n_punct,

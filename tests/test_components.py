@@ -1,0 +1,40 @@
+"""Transitive-closure canonicalization tests: min-label connected
+components over near-dup pairs (the cluster step exact first-writer-wins
+dedup, crawler.go:562-566, does not need but near-dup curation does)."""
+
+from __future__ import annotations
+
+from webcrawler_go_spark.operators.components import (
+    canonicalize_closure,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_chain_collapses_to_one_canonical(spark):
+    # A~B, B~C but never A~C: closure must still put all three in one
+    # cluster with canonical = min id (one-pass min-neighbor would split
+    # it: C's only neighbor is B, so C would canonicalize to B).
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3)]))
+    got = {r.node: r.label for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_past_one_hop(spark):
+    n = 12  # diameter 11 > 1: requires the iteration, not a single join
+    comp = connected_components(_edges(spark, [(i, i + 1) for i in range(1, n)]))
+    got = {r.node: r.label for r in comp.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_multiple_components_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = _edges(spark, [(5, 2), (2, 7), (3, 8)])
+    got = {
+        r.doc_id: r.canonical_id
+        for r in canonicalize_closure(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6, 7: 2, 8: 3}

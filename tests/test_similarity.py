@@ -185,3 +185,36 @@ def test_ann_topk_lsh_matches_exact_on_clusters(spark):
         assert got[(q, 1)] in {exact[(q, r)] for r in (1, 2, 3)}
         assert got[(q, 1)] // 10 == q // 10  # same cluster
         assert all(got[(q, r)] // 10 == q // 10 for r in (1, 2, 3))
+
+
+def test_ivf_topk_recall_vs_brute_force_sf001():
+    """Quantified recall@5 of IVF (nprobe=1, 8 cells) vs exact brute
+    force on the driver's real sf0.01 embeddings — the number the
+    oracle surface can't express (it checks the IVF result is THE IVF
+    result; this checks the IVF result is a GOOD ANN result)."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from webcrawler_go_spark.operators.similarity import brute_force_topk, ivf_topk
+    from webcrawler_go_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8)
+    exact = brute_force_topk(emb, queries, k=5)
+    by_q_ivf, by_q_exact = {}, {}
+    for r in ivf.collect():
+        by_q_ivf.setdefault(r.query_id, set()).add(r.neighbor)
+    for r in exact.collect():
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor)
+    hits = sum(len(by_q_ivf.get(q, set()) & n) for q, n in by_q_exact.items())
+    total = sum(len(n) for n in by_q_exact.values())
+    recall = hits / total
+    # nprobe=1 must decisively beat the 1/n_cells≈0.125 random-cell
+    # floor. Measured on this data: 0.85.
+    assert recall >= 0.5, f"recall@5 {recall:.2f}"
