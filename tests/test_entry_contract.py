@@ -4,6 +4,8 @@ same derivations, smaller here for test speed)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -11,6 +13,9 @@ import __spark_entry__ as entry_mod
 from tools.check_oracles import TABLES, value_hash
 
 SF_DIR = "/root/testdata/sf0.001"
+# golden-VALUES oracles (embedding_ivf_topk) recompute expectations from
+# the input tables — point them at the same sf the queries read here
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="module")

@@ -230,6 +230,7 @@ def fetch_frontier(
     timeout_s: int = 30,
     max_redirects: int = 10,
     referer_url: str | None = None,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Fetch a scheduled frontier round.
 
@@ -252,8 +253,15 @@ def fetch_frontier(
             # 3× cores: the kernel stage is the round's dominant CPU, and
             # at exactly 1 task/core any host-hash imbalance becomes a
             # straggler tail with idle cores — 3× gives the scheduler
-            # room to rebalance while host co-location is preserved
-            scheduled = scheduled.repartition(par * 3, F.col("host"))
+            # room to rebalance while host co-location is preserved.
+            # ``size_hint`` (free, from the frontier manifest) caps the
+            # width for SMALL rounds: 96 near-empty tasks per stage —
+            # and per downstream job over the checkpoint — is pure
+            # scheduling overhead when the round has a few hundred URLs.
+            width = par * 3
+            if size_hint is not None:
+                width = max(1, min(width, size_hint // 500 + 1))
+            scheduled = scheduled.repartition(width, F.col("host"))
 
     if backend == "synthetic":
         # Arrow-native path (mapInArrow): flat-buffer span construction

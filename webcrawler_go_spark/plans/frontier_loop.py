@@ -242,7 +242,8 @@ class CrawlEngine:
         )
 
         fetched = fetch_frontier(
-            scheduled, self.world, backend=self.fetch_backend
+            scheduled, self.world, backend=self.fetch_backend,
+            size_hint=frontier_rows if frontier_rows else None,
         )
         # one round = one materialization: cache the kernel output so the
         # documents/links/retries/metrics branches don't re-fetch
@@ -291,11 +292,33 @@ class CrawlEngine:
             path_filter=cfg.path_filter,
             ignore_query=cfg.ignore_query_params,
         )
+        # collapse duplicate discoveries and drop already-seen URLs BEFORE
+        # the frontier commit: raw extraction yields ~links-per-page × the
+        # round size (measured ~30× the surviving rows), and next round's
+        # first pass would collapse it anyway — dedup-before-write moves
+        # the same two shuffles ahead of the parquet write instead of
+        # after the parquet read, shrinking the biggest per-round write
+        # (and, at 10^10 URLs, the frontier table) by that factor.
+        # first_discovery keeps the min crawl-order key per URL, so the
+        # next round's in-round dedup against deferred/requeued/overflow
+        # rows (which skip this path) still resolves to the same winner.
+        candidates = dedup_against_seen(
+            first_discovery(candidates),
+            seen.unionByName(seen_delta),
+            use_bloom=seen_estimate > self.bloom_threshold,
+            seen_count=seen_estimate,
+            fpp=cfg.bloom_fpp,
+        )
         next_frontier = candidates.unionByName(
             deferred.select(*candidates.columns)
         ).unionByName(requeue.select(*candidates.columns)).unionByName(
             overflow.select(*candidates.columns)
         )
+        # materialize the dedup with the whole cluster BEFORE the commit
+        # fan-out: inside the thread pool it contends with three parquet
+        # writes for every core (measured 3× slower there)
+        next_frontier = next_frontier.localCheckpoint(eager=True)
+        _mark("frontier-dedup")
 
         # all four commits read only the checkpointed fetch output (plus
         # tiny carried frames) and are mutually independent → run them as
@@ -309,7 +332,14 @@ class CrawlEngine:
         # gain (the upstream compute is already done at the checkpoint).
         from concurrent.futures import ThreadPoolExecutor
 
-        n_out = max(4, self.spark.sparkContext.defaultParallelism)
+        # width scales with the round (manifest row count = free): tiny
+        # rounds write 4 files, not core-count files — 24 commits of 32
+        # files each made later reads' file listing the dominant
+        # driver-side latency by round 5
+        n_out = max(
+            4,
+            min(self.spark.sparkContext.defaultParallelism, frontier_rows // 8000 + 4),
+        )
 
         with ThreadPoolExecutor(max_workers=4) as pool:
             futures = [
