@@ -176,3 +176,62 @@ def test_robots_ruleless_specific_group_overrides_star(spark):
     bodies = spark.createDataFrame([("h.test", body)], "host string, body string")
     rules = parse_robots_txt(bodies, user_agent="ourbot").collect()
     assert rules == []  # no rules → everything allowed for ourbot
+
+
+# -- CID / Identity-H PDFs (round-3 directive #7) ---------------------------
+
+def test_pdf_cid_roundtrip_bfchar_and_bfrange():
+    from webcrawler_go_spark.operators.doc_extract import (
+        make_pdf_cid,
+        pdf_cid_fonts,
+        pdf_text_blocks,
+    )
+
+    texts = ["Hello CID 0123!", "page two (parens) \\ slash", "42 digits 9876543210"]
+    blob = make_pdf_cid(texts)
+    fonts = pdf_cid_fonts(blob)
+    assert "F1" in fonts and len(fonts["F1"]) > 0
+    # digits arrive via the scalar bfrange; letters via bfchar — both must
+    # survive the non-identity (cid = cp + 7) mapping
+    assert pdf_text_blocks(blob) == texts
+    assert pdf_text_blocks(make_pdf_cid(texts, compress=False)) == texts
+
+
+def test_pdf_cid_unmapped_codes_extract_empty_not_wrong():
+    """CID strings whose codes have no ToUnicode entry extract as empty —
+    the documented boundary (reference shells to pdfcpu which has full
+    font machinery; parser/pdf.go:40-46 substring-search tolerates empty)."""
+    from webcrawler_go_spark.operators.doc_extract import (
+        make_pdf_cid,
+        pdf_text_blocks,
+    )
+
+    blob = make_pdf_cid(["abc"])
+    # splice a show string with CIDs far outside the cmap into the page
+    import re
+    import zlib
+
+    m = re.search(rb"5 0 obj .*?stream\r?\n(.*?)\nendstream", blob, re.S)
+    content = zlib.decompress(m.group(1))
+    hacked = content.replace(b" Tj ET", b" Tj <EEEEEFFF> Tj ET")
+    blob2 = blob.replace(m.group(1), zlib.compress(hacked))
+    assert pdf_text_blocks(blob2) == ["abc"]  # unknown CIDs vanish
+
+
+def test_pdf_cid_font_without_tounicode_extracts_empty():
+    from webcrawler_go_spark.operators.doc_extract import (
+        make_pdf_cid,
+        pdf_text_blocks,
+    )
+
+    blob = make_pdf_cid(["xyz"], compress=False)
+    blob = blob.replace(b" /ToUnicode 4 0 R", b"")
+    assert pdf_text_blocks(blob) == []
+
+
+def test_pdf_simple_font_still_latin1():
+    """Type1 pages must not be routed through any cmap (regression)."""
+    from webcrawler_go_spark.operators.doc_extract import make_pdf, pdf_text_blocks
+
+    texts = ["plain latin-1 text", "café naïve"]
+    assert pdf_text_blocks(make_pdf(texts)) == texts

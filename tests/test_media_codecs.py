@@ -1,0 +1,152 @@
+"""Real stdlib media codecs: PNG round-trips through every filter type,
+CRC validation, WAV PCM decode cross-checked against audioop, and the
+Spark decode_media real path (round-3 directive #9)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from webcrawler_go_spark.functions.media_codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav_pcm,
+)
+
+
+def _pixels(w, h, ch=3, seed=7):
+    return bytes((seed * 31 + j * 13) % 256 for j in range(w * h * ch))
+
+
+def test_png_roundtrip_filters_012():
+    w, h = 9, 6
+    px = _pixels(w, h)
+    for filters in ([0] * h, [1] * h, [2] * h, [y % 3 for y in range(h)]):
+        blob = encode_png(w, h, px, row_filters=filters)
+        dw, dh, ch, out = decode_png(blob)
+        assert (dw, dh, ch) == (w, h, 3)
+        assert out == px, f"filters={filters}"
+
+
+def test_png_rgba_roundtrip():
+    w, h = 5, 4
+    px = _pixels(w, h, ch=4)
+    dw, dh, ch, out = decode_png(encode_png(w, h, px, channels=4))
+    assert (dw, dh, ch, out) == (w, h, 4, px)
+
+
+def test_png_average_and_paeth_reversal():
+    """The writer emits 0/1/2 only, so build Average(3)/Paeth(4) scanlines
+    by hand and check the decoder's reversal against the spec math."""
+    w, h, ch = 4, 3, 3
+    px = _pixels(w, h, ch, seed=3)
+    stride = w * ch
+
+    def filt(ft, row, prev):
+        out = bytearray([ft])
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ft == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = px[y * stride:(y + 1) * stride]
+        raw += filt(3 if y % 2 == 0 else 4, row, prev)
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert decode_png(blob)[3] == px
+
+
+def test_png_rejects_corrupt_crc_and_bad_signature():
+    blob = bytearray(encode_png(3, 3, _pixels(3, 3)))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + bytes(20))
+
+
+def test_png_unsupported_variants_raise_not_implemented():
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
+    with pytest.raises(NotImplementedError):
+        decode_png(blob)
+
+
+def test_wav_8bit_decode_matches_audioop():
+    samples = [(i * 37 + 11) % 256 for i in range(200)]
+    blob = encode_wav_pcm(samples, sample_rate=8000, sampwidth=1)
+    d = decode_wav(blob)
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 200
+    assert d["duration_ms"] == 25
+    assert d["sum_sq"] == sum((s - 128) ** 2 for s in samples)
+    assert d["peak"] == max(abs(s - 128) for s in samples)
+    # cross-check rms against audioop (independent C implementation) on
+    # the centered samples widened to 16-bit signed
+    import audioop
+
+    raw16 = b"".join(struct.pack("<h", s - 128) for s in samples)
+    assert abs(d["rms"] - audioop.rms(raw16, 2)) <= 1.0
+
+
+def test_wav_16bit_decode():
+    samples = [((i * 997) % 20000) - 10000 for i in range(100)]
+    d = decode_wav(encode_wav_pcm(samples, sample_rate=16000, sampwidth=2))
+    assert d["n_samples"] == 100
+    assert d["sample_rate"] == 16000
+    assert d["sum_sq"] == sum(s * s for s in samples)
+    assert d["peak"] == max(abs(s) for s in samples)
+
+
+def test_decode_media_real_path_spark(spark):
+    """End-to-end: real PNG + WAV blobs through the mapInPandas decode
+    kernel with use_fake_decoder=False."""
+    from webcrawler_go_spark.operators.multimodal import decode_media
+
+    png = encode_png(6, 4, _pixels(6, 4), row_filters=[0, 1, 2, 1])
+    wav = encode_wav_pcm([(i * 3) % 256 for i in range(50)], sample_rate=8000)
+    blobs = spark.createDataFrame(
+        [("m://png", "image", bytearray(png), {}),
+         ("m://wav", "audio", bytearray(wav), {})],
+        "media_ref string, media_type string, payload binary, meta map<string,string>",
+    )
+    got = {r.media_ref: r for r in decode_media(blobs, use_fake_decoder=False).collect()}
+    assert (got["m://png"].width, got["m://png"].height) == (6, 4)
+    assert got["m://wav"].n_frames == 50
+
+
+def test_decode_media_real_path_raises_on_unknown_format(spark):
+    from webcrawler_go_spark.operators.multimodal import decode_media
+
+    blobs = spark.createDataFrame(
+        [("m://x", "video", bytearray(b"\x00\x01notacodec"), {})],
+        "media_ref string, media_type string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="no stdlib codec"):
+        decode_media(blobs, use_fake_decoder=False).collect()
