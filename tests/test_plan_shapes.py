@@ -1,0 +1,69 @@
+"""Plan-shape invariants — the 100×-scale contract enforced as tests,
+not prose: no accidental cartesian products, broadcast where a dim is
+small by construction, filter pushdown reaching the parquet scan, and
+no row-at-a-time Python UDFs anywhere in the registered surface.
+
+These assert the *shape* that makes a plan survive scale-up; BENCH.md /
+PLANS.md carry the numbers."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the one sanctioned quadratic: the labeled brute-force cosine baseline
+CARTESIAN_OK = {"embedding_cosine_pairs"}
+# sanctioned broadcast-nested-loop: crossJoin against a BOUNDED tiny dim
+# (IVF centroid assignment broadcasts n_cells=8 centroid rows — O(n·k),
+# not O(n²); the per-row side never exceeds the cell count)
+BNLJ_OK = {"embedding_ivf_topk"}
+# derive small synthetic frames via createDataFrame → no parquet scan
+NO_SCAN = {"head_probe", "url_hash31", "robots_parse"}
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_no_unsanctioned_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    if name in CARTESIAN_OK:
+        return
+    assert "CartesianProduct" not in plan, name
+    # BroadcastNestedLoopJoin is the other quadratic trapdoor — allowed
+    # only against a bounded tiny broadcast dim
+    assert "BroadcastNestedLoop" not in plan or name in BNLJ_OK, name
+
+
+def test_politeness_budget_joins_broadcast(spark):
+    """The per-host budget dim is tiny by construction → must broadcast,
+    never shuffle the frontier against it."""
+    plan = _plan(spark, "politeness_budget_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_rules_join_broadcast(spark):
+    plan = _plan(spark, "robots_filter")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """status-class predicate over the synthetic fetch log derives from a
+    parquet scan — the pushed-filter line must be non-empty."""
+    plan = _plan(spark, "substring_search")
+    assert "PushedFilters: [" in plan
+    # column pruning: the scan must not read every documents column
+    assert "text" in plan
+
+
+def test_no_row_at_a_time_python_udfs(spark):
+    """Arrow-batched pandas UDFs are allowed (ArrowEvalPython /
+    MapInPandas / MapInArrow); per-row BatchEvalPython is not."""
+    for name in sorted(entry_mod.queries()):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name

@@ -104,7 +104,9 @@ def cosine_pairs_quantized(
     a = q.select(F.col("id").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("n2a"))
     b = q.select(F.col("id").alias("b"), F.col("q").alias("qb"), F.col("n2").alias("n2b"))
     pairs = a.join(b, F.col("a") < F.col("b"))
-    cos = _qdot(F.col("qa"), F.col("qb")) / (
+    # O(n²) pairs × per-pair dot: the Arrow/numpy kernel (exact int64,
+    # order-independent) — the interpreted HOF dot is the slow path here
+    cos = _qdot_pandas(F.col("qa"), F.col("qb")) / (
         F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
     )
     return (
