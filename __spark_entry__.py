@@ -1169,6 +1169,46 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_cmyk_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10's colorimetric core (pdfcapture.go:399-431): real PNG decode →
+    naive-GCR RGB→CMYK (exact integer round-half-up) → per-channel sums.
+    Only the Ghostscript/ImageMagick PDF-X/TIFF *wrapper* remains a
+    container boundary; the color math runs for real here. Oracle = the
+    pixel + CMYK formulas in SQL."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+
+    def kernel(batches):
+        from webcrawler_go_spark.functions.media_codecs import (
+            decode_png,
+            encode_png,
+            rgb_to_cmyk,
+        )
+
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                w, h = k % 8 + 2, k % 5 + 2
+                px = bytes((k * 31 + j * 7) % 256 for j in range(w * h * 3))
+                _w, _h, _ch, dpx = decode_png(
+                    encode_png(w, h, px, row_filters=[y % 3 for y in range(h)])
+                )
+                cmyk = rgb_to_cmyk(dpx)
+                rows.append(
+                    (k, sum(cmyk[0::4]), sum(cmyk[1::4]), sum(cmyk[2::4]),
+                     sum(cmyk[3::4]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["k", "c_sum", "m_sum", "y_sum", "k_sum"]
+            )
+
+    return c.mapInPandas(
+        kernel, "k long, c_sum long, m_sum long, y_sum long, k_sum long"
+    )
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: synthesize 8-bit PCM WAV bytes per row and
     decode with the stdlib ``wave`` RIFF parser; emit header fields plus
@@ -1940,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_cid_extract": q_pdf_cid_extract,
         "media_decode_png": q_media_decode_png,
         "media_decode_wav": q_media_decode_wav,
+        "media_cmyk_transform": q_media_cmyk_transform,
         # (4) green in r2 but code changed this round — re-prove
         "dedup_embedding_semantic": q_dedup_embedding_semantic,  # banded routing
         "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,  # sig builder + verify
@@ -2353,6 +2394,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_custkey AS k FROM customer) t,
                  unnest(generate_series(0, (k % 8 + 2) * (k % 5 + 2) * 3 - 1)) AS u(j)
             GROUP BY k""",
+        "media_cmyk_transform": """
+            -- pixel p has r,g,b = v(3p), v(3p+1), v(3p+2), v(j) = (k*31+j*7)%256;
+            -- K = 255-max, X' = round-half-up(255*(255-X-K)/(255-K)) (0 when K=255)
+            WITH px AS (
+              SELECT k,
+                     (k * 31 + (3 * u.p) * 7) % 256 AS r,
+                     (k * 31 + (3 * u.p + 1) * 7) % 256 AS g,
+                     (k * 31 + (3 * u.p + 2) * 7) % 256 AS b
+              FROM (SELECT c_custkey AS k FROM customer) t,
+                   unnest(generate_series(0, (k % 8 + 2) * (k % 5 + 2) - 1)) AS u(p)
+            ),
+            cmyk AS (
+              SELECT k,
+                     CASE WHEN kk = 255 THEN 0
+                          ELSE (510 * (255 - r - kk) + (255 - kk)) // (510 - 2 * kk) END AS c,
+                     CASE WHEN kk = 255 THEN 0
+                          ELSE (510 * (255 - g - kk) + (255 - kk)) // (510 - 2 * kk) END AS m,
+                     CASE WHEN kk = 255 THEN 0
+                          ELSE (510 * (255 - b - kk) + (255 - kk)) // (510 - 2 * kk) END AS y,
+                     kk
+              FROM (SELECT *, 255 - GREATEST(r, g, b) AS kk FROM px)
+            )
+            SELECT k,
+                   CAST(SUM(c) AS BIGINT) AS c_sum,
+                   CAST(SUM(m) AS BIGINT) AS m_sum,
+                   CAST(SUM(y) AS BIGINT) AS y_sum,
+                   CAST(SUM(kk) AS BIGINT) AS k_sum
+            FROM cmyk GROUP BY k""",
         "media_decode_wav": """
             SELECT k,
                    CAST(8000 AS INT) AS sample_rate,

@@ -150,3 +150,32 @@ def test_decode_media_real_path_raises_on_unknown_format(spark):
     )
     with pytest.raises(Exception, match="no stdlib codec"):
         decode_media(blobs, use_fake_decoder=False).collect()
+
+
+def test_rgb_to_cmyk_known_colors():
+    from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk
+
+    cases = {
+        (255, 0, 0): (0, 255, 255, 0),     # pure red
+        (0, 255, 0): (255, 0, 255, 0),     # pure green
+        (0, 0, 255): (255, 255, 0, 0),     # pure blue
+        (255, 255, 255): (0, 0, 0, 0),     # white
+        (0, 0, 0): (0, 0, 0, 255),         # black: full GCR, no CMY
+        (128, 128, 128): (0, 0, 0, 127),   # gray: K only
+        (0, 128, 255): (255, 127, 0, 0),
+    }
+    for rgb, want in cases.items():
+        assert tuple(rgb_to_cmyk(bytes(rgb))) == want, rgb
+
+
+def test_rgb_to_cmyk_batch_shape_and_bounds():
+    from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk
+
+    px = bytes((i * 37 + 5) % 256 for i in range(300))  # 100 pixels
+    out = rgb_to_cmyk(px)
+    assert len(out) == 400
+    # GCR invariant: for every pixel, min(C,M,Y) == 0 (K absorbed the
+    # gray component) and all channels are in byte range by construction
+    for p in range(100):
+        c, m, y, _k = out[4 * p:4 * p + 4]
+        assert min(c, m, y) == 0

@@ -47,3 +47,55 @@ def test_expire_snapshots(spark, state_dir):
     # all surviving files exist
     for f in t.current_snapshot()["files"]:
         assert os.path.exists(f)
+
+
+def test_compact_preserves_rows_and_bounds_files(spark, state_dir):
+    t = _t(spark, state_dir)
+    for i in range(6):
+        t.commit(spark.createDataFrame([(i,)], SCHEMA))
+    head = t.current_snapshot()
+    assert len(head["files"]) >= 6
+    before = sorted(r.x for r in t.read().collect())
+
+    m = t.compact(target_files=2)
+    assert m is not None and m["mode"] == "replace"
+    head2 = t.current_snapshot()
+    assert len(head2["files"]) <= 2
+    assert sorted(r.x for r in t.read().collect()) == before
+    # superseded snapshots reclaimable, head resumable
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.x for r in t.read().collect()) == before
+    # below threshold → no-op
+    assert t.compact(target_files=8) is None
+
+
+def test_engine_maintenance_equivalent_and_bounded(spark, state_dir):
+    """A crawl with maintenance_interval=2 must produce the exact same
+    fetch log and seen set as one without, with bounded file counts."""
+    import tempfile
+
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=20, max_links=5)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=50)
+    outs = []
+    for interval in (0, 2):
+        sd = tempfile.mkdtemp(prefix=f"maint{interval}-")
+        eng = CrawlEngine(
+            spark, cfg, sd, world=world, collect_stats=False,
+            maintenance_interval=interval,
+        )
+        eng.seed(spark.createDataFrame(
+            gen_seeds(world, 4), "url string, priority double, seq int"
+        ))
+        for r in range(4):
+            eng.run_round(r)
+        log = sorted((r.url, r.status) for r in eng.fetch_log().collect())
+        seen = sorted(r.url_norm for r in eng.url_seen().collect())
+        outs.append((log, seen, len(eng.log_t.current_snapshot()["files"])))
+    (log0, seen0, files0), (log2, seen2, files2) = outs
+    assert log0 == log2
+    assert seen0 == seen2
+    assert files2 <= files0

@@ -208,3 +208,35 @@ def decode_wav(blob: bytes) -> dict:
         "rms": round(math.sqrt(sumsq / n), 6) if n else 0.0,
         "peak": max((abs(v) for v in vals), default=0),
     }
+
+
+# ---------------------------------------------------------------------------
+# RGB → CMYK (S10's colorimetric core)
+# ---------------------------------------------------------------------------
+
+def rgb_to_cmyk(pixels: bytes) -> bytes:
+    """Naive-GCR RGB→CMYK over interleaved 8-bit RGB bytes — the color
+    math inside the reference's Ghostscript/ImageMagick conversion step
+    (pdfcapture.go:399-431 shells out for the PDF/X *wrapper*, which
+    stays out of scope; the per-pixel transform itself is exact):
+
+        K = 255 - max(R, G, B)
+        X' = round(255·(255-X-K)/(255-K))  for X in (R, G, B); 0 if K=255
+
+    Integer round-half-up throughout — engine-neutral and mirrored by
+    the media_cmyk_transform SQL oracle. Returns interleaved CMYK bytes
+    (4 per pixel)."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    r, g, b = a[:, 0], a[:, 1], a[:, 2]
+    kk = 255 - np.maximum(np.maximum(r, g), b)
+    den = 2 * (255 - kk)
+    safe = np.where(den == 0, 1, den)
+
+    def chan(x):
+        v = (510 * (255 - x - kk) + (255 - kk)) // safe
+        return np.where(den == 0, 0, v)
+
+    out = np.stack([chan(r), chan(g), chan(b), kk], axis=1)
+    return out.astype(np.uint8).tobytes()

@@ -83,6 +83,7 @@ class CrawlEngine:
         bloom_threshold: int = 1_000_000,
         salt_threshold: int = 200_000,
         collect_stats: bool = True,
+        maintenance_interval: int = 0,
     ):
         self.spark = spark
         self.config = config
@@ -103,6 +104,12 @@ class CrawlEngine:
         self.bloom_threshold = bloom_threshold
         self.salt_threshold = salt_threshold
         self.collect_stats = collect_stats
+        # every N rounds, compact the append-mode tables (url_seen /
+        # fetch_log / documents) back to ~core-count files and expire
+        # superseded snapshots — the Iceberg rewrite_data_files +
+        # expireSnapshots maintenance a 10^3-round crawl needs so reads
+        # stay O(core-count) files instead of O(rounds). 0 = off.
+        self.maintenance_interval = maintenance_interval
         self.profile = False  # per-phase wall timing to stderr (debug)
         self.stats: list[RoundStats] = []
 
@@ -363,6 +370,13 @@ class CrawlEngine:
             for f_ in futures:
                 f_.result()
         _mark("commits")
+
+        if self.maintenance_interval and (r + 1) % self.maintenance_interval == 0:
+            target = max(4, self.spark.sparkContext.defaultParallelism)
+            for t in (self.seen_t, self.log_t, self.docs_t):
+                if t.compact(target_files=target, lineage={"round": r}):
+                    t.expire_snapshots(keep_last=2)
+            _mark("maintenance")
 
         # --- per-round metrics (A1/A2/A3 in one aggregate) -----------------
         if not self.collect_stats:

@@ -142,6 +142,26 @@ class SnapshotTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def compact(self, target_files: int = 8, lineage: dict | None = None) -> dict | None:
+        """Iceberg ``rewrite_data_files`` analogue: when the head snapshot
+        references more than ``target_files`` data files, rewrite the
+        table contents into ``target_files`` files and publish as a
+        REPLACE snapshot (atomic manifest swap — readers never see a
+        partial state; old snapshots stay resumable until
+        ``expire_snapshots`` reclaims them).
+
+        Why it matters at 10^10: append-mode tables (url_seen, fetch_log,
+        documents) gain files every round; after 10^3 rounds every read
+        pays a 10^3-file listing and the manifest grows without bound.
+        Periodic compaction keeps reads O(target_files)."""
+        head = self._read_head()
+        if head is None or len(head["files"]) <= target_files:
+            return None
+        df = self.read().coalesce(target_files)
+        return self.commit(
+            df, mode="replace", lineage={**(lineage or {}), "op": "compact"}
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Iceberg-style ``expireSnapshots``: drop all but the newest
         ``keep_last`` manifests and delete data files no surviving
