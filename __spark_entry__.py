@@ -958,12 +958,44 @@ def _ivf_topk_oracle_sql(
     )
 
 
+def _crawl_multiround_oracle_sql() -> str:
+    """Golden VALUES oracle for the full engine run (the head_probe
+    pattern): per-host (fetched, bytes) computed by the SEQUENTIAL
+    reference crawl over the same world/config — an independent
+    implementation with zero Spark."""
+    from webcrawler_go_spark import worldgen
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.oracle import sequential
+    from webcrawler_go_spark.worldgen import World
+    from webcrawler_go_spark.worldgen import seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=3, default_host_budget=8)
+    res = sequential.crawl(world, gen_seeds(world, 3), cfg, max_rounds=3)
+    per_host: dict[str, list[int]] = {}
+    for e in res.fetch_log:
+        b = 0 if e["error_class"] is not None else worldgen.bytes_of(world, e["url"])
+        agg = per_host.setdefault(e["host"], [0, 0])
+        agg[0] += 1
+        agg[1] += b
+    rows = ",\n              ".join(
+        f"('{h}', {c}, {b})" for h, (c, b) in sorted(per_host.items())
+    )
+    return (
+        "SELECT host, CAST(fetched AS BIGINT) AS fetched, CAST(bytes AS BIGINT) AS bytes\n"
+        f"            FROM (VALUES {rows}) AS t(host, fetched, bytes)"
+    )
+
+
 def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the COMPLETE batch-iterative engine end-to-end — seed →
-    3 rounds of canonicalize/dedup/schedule/fetch/extract/requeue with
-    snapshot commits — returning per-host fetch counts. Oracle-less here;
-    the full parity gate (seen set, per-host order, span sequences vs the
-    sequential oracle) runs in tests/test_crawl_parity.py."""
+    """The COMPLETE batch-iterative engine end-to-end — seed → 3 rounds
+    of canonicalize/dedup/schedule/fetch/extract/requeue with snapshot
+    commits — returning per-host fetch counts. Oracle (r3): golden
+    VALUES computed by the SEQUENTIAL plain-Python reference crawl
+    (the parity ground truth), so even the full engine run is
+    value-checked by the driver; the finer-grained parity gate (seen
+    set, per-host order, span sequences) runs in
+    tests/test_crawl_parity.py."""
     import tempfile
 
     from webcrawler_go_spark.config import CrawlConfig
@@ -1320,6 +1352,53 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation repetition signals (Gopher/MassiveText duplicate-n-gram
+    family): word + word-bigram duplication counts per document, pure
+    array ops. New in round 3."""
+    from webcrawler_go_spark.operators.textanalysis import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation PII scrubbing (emails/IPv4/phones → typed tokens) over
+    synthesized PII-bearing text — regexp_replace chain, Java-regex vs
+    RE2-parity patterns shared with the oracle via PII_PATTERNS. New in
+    round 3."""
+    from webcrawler_go_spark.operators.textanalysis import pii_scrub
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ks = F.col("k").cast("string")
+    text = F.concat(
+        F.lit("reach user"), ks, F.lit("@example"), (F.col("k") % 7).cast("string"),
+        F.lit(".com or +1 (555) 010-"), (F.lit(1000) + F.col("k") % 9000).cast("string"),
+        F.lit(" via 10."), (F.col("k") % 200).cast("string"),
+        F.lit("."), ((F.col("k") * 7) % 256).cast("string"),
+        F.lit("."), (F.col("k") % 250).cast("string"),
+        F.lit(" ok"),
+    )
+    return c.select("k", pii_scrub(text).alias("scrubbed"))
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.textanalysis import PII_PATTERNS
+
+    expr = (
+        "'reach user' || CAST(k AS VARCHAR) || '@example' || CAST(k % 7 AS VARCHAR)"
+        " || '.com or +1 (555) 010-' || CAST(1000 + k % 9000 AS VARCHAR)"
+        " || ' via 10.' || CAST(k % 200 AS VARCHAR)"
+        " || '.' || CAST((k * 7) % 256 AS VARCHAR)"
+        " || '.' || CAST(k % 250 AS VARCHAR) || ' ok'"
+    )
+    for pat, repl in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', '{repl}', 'g')"
+    return f"""
+        SELECT k, {expr} AS scrubbed
+        FROM (SELECT c_custkey AS k FROM customer)"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1987,13 +2066,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hash31": q_url_hash31,            # golden-VALUES oracle, never driver-run
         "head_probe": q_head_probe,            # scalar-reference oracle, never driver-run
         "embedding_ivf_topk": q_embedding_ivf_topk,  # numpy golden oracle NEW r3
-        "crawl_multiround": q_crawl_multiround,  # rows-only (full engine)
+        "crawl_multiround": q_crawl_multiround,  # sequential-reference golden oracle NEW r3
         # (3) new this round
         "dedup_semantic_closure": q_dedup_semantic_closure,
         "pdf_cid_extract": q_pdf_cid_extract,
         "media_decode_png": q_media_decode_png,
         "media_decode_wav": q_media_decode_wav,
         "media_cmyk_transform": q_media_cmyk_transform,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
         # (4) green in r2 but code changed this round — re-prove
         "dedup_embedding_semantic": q_dedup_embedding_semantic,  # banded routing
         "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,  # sig builder + verify
@@ -2372,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),
         "url_hash31": _url_hash31_oracle_sql(),
         "head_probe": _head_probe_oracle_sql(),
+        "crawl_multiround": _crawl_multiround_oracle_sql(),
         "robots_parse": """
             WITH ks AS (SELECT c_custkey AS k FROM customer)
             SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host,
@@ -2470,6 +2552,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )""",
         "lang_id": _lang_id_oracle_sql(),
+        "pii_scrub": _pii_scrub_oracle_sql(),
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS ws
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                   CAST(len(bg) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+            FROM b""",
         "token_counts": """
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0

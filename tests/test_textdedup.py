@@ -140,3 +140,43 @@ def test_stratified_sample_negative_keys(spark):
     n = kept.count()
     assert 250 < n < 550, n  # ~10% of 4000, not ~55%
     assert stratified_sample(docs, "stratum", {"s": 0.0}).count() == 0
+
+
+def test_repetition_features_known_values(spark):
+    from webcrawler_go_spark.operators.textanalysis import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # words: 5/2 distinct; bigrams: a b, b a, a b, b a -> 4/2
+            (2, "x y z"),           # 3/3; bigrams x y, y z -> 2/2
+            (3, ""),                # empty
+            (4, "solo"),            # 1 word, 0 bigrams
+            (5, "  padded   words  padded "),  # whitespace runs collapse
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert (got[1].n_words, got[1].n_distinct_words) == (5, 2)
+    assert (got[1].n_bigrams, got[1].n_distinct_bigrams) == (4, 2)
+    assert (got[2].n_bigrams, got[2].n_distinct_bigrams) == (2, 2)
+    assert (got[3].n_words, got[3].n_bigrams) == (0, 0)
+    assert (got[4].n_words, got[4].n_bigrams) == (1, 0)
+    assert (got[5].n_words, got[5].n_distinct_words) == (3, 2)
+
+
+def test_pii_scrub_edges(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.textanalysis import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@d-e.org now", "mail <EMAIL> now"),
+        (2, "ip 192.168.0.1 and 1.2.3.4.5 tail", "ip <IP> and <IP>.5 tail"),
+        (3, "call +1 (555) 010-9999.", "call <PHONE>."),
+        (4, "clean text 42", "clean text 42"),
+        (5, "x@y.io,z@w.ai pair", "<EMAIL>,<EMAIL> pair"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "i long, t string")
+    got = {r.i: r.s for r in df.select("i", pii_scrub(F.col("t")).alias("s")).collect()}
+    for i, _t, want in rows:
+        assert got[i] == want, (i, got[i])

@@ -178,3 +178,56 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.lower(F.trim(t))
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition signals for curation filtering:
+    word and word-bigram duplication counts per document (high duplicate
+    fractions mark boilerplate/spam/templated pages). Pure array ops —
+    transform + array_distinct inside codegen, no explode, no UDFs; the
+    dup FRACTIONS are left to the consumer (exact integer outputs keep
+    the oracle engine-neutral).
+
+    At 100 TB this is a narrow map per document: no shuffle at all."""
+    t = F.trim(F.col(text_col))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+
+
+# PII scrub patterns — constructs chosen to behave identically in Java
+# regex (Spark) and RE2 (DuckDB oracle): char classes, bounded
+# quantifiers, \b word boundaries; no lookaround, no backrefs.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Curation PII scrubbing: emails → <EMAIL>, IPv4 → <IP>, phone-ish
+    digit runs → <PHONE>, applied in that order (emails/IPs are eaten
+    before the looser phone pattern can touch their digits). Pure
+    regexp_replace chain — codegen, no UDFs, a narrow map at 100 TB."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
