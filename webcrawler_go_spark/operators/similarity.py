@@ -169,32 +169,6 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign_bits(
-    emb: DataFrame, n_planes: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
-    """(id, bucket) — K-bit random-hyperplane signature.
-
-    Hyperplane k has component ±1 at dimension d determined by parity of
-    ((d+1)*(2k+3) mod 7) — deterministic, oracle-expressible, and fixed
-    across runs. sign bit = 1 iff Σ ±v_d > 0."""
-    sig = F.lit(0).cast("long")
-    v = F.col(vec_col)
-    for k in range(n_planes):
-        signed = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(1), F.size(v)),
-                lambda x, d: F.when(((d * (2 * k + 3)) % 7) % 2 == 1, x.cast("double")).otherwise(
-                    -x.cast("double")
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(signed > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
-
-
 def assign_to_centroids(
     e: DataFrame, centroids: DataFrame, nprobe: int = 1
 ) -> DataFrame:
