@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "embedding_ann_lsh",
     "events_sessionize",
+    # round-3 additions
+    "dedup_semantic_closure",   # iterative min-label closure (driver loop)
+    "text_repetition",          # array-ops curation signals
+    "media_decode_png",         # real stdlib PNG decode kernel
 ]
 
 

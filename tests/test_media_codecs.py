@@ -179,3 +179,48 @@ def test_rgb_to_cmyk_batch_shape_and_bounds():
     for p in range(100):
         c, m, y, _k = out[4 * p:4 * p + 4]
         assert min(c, m, y) == 0
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(pixels)) == pixels for arbitrary sizes,
+    channels and writer filter sequences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        ch=st.sampled_from([3, 4]),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def prop(w, h, ch, seed, data):
+        px = bytes((seed * 31 + j * 13) % 256 for j in range(w * h * ch))
+        filters = data.draw(
+            st.lists(st.integers(0, 2), min_size=h, max_size=h)
+        )
+        dw, dh, dch, out = decode_png(
+            encode_png(w, h, px, channels=ch, row_filters=filters)
+        )
+        assert (dw, dh, dch, out) == (w, h, ch, px)
+
+    prop()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        samples=st.lists(st.integers(0, 255), min_size=1, max_size=300),
+        sr=st.sampled_from([8000, 16000, 44100]),
+    )
+    def prop(samples, sr):
+        d = decode_wav(encode_wav_pcm(samples, sample_rate=sr))
+        assert d["n_samples"] == len(samples)
+        assert d["sample_rate"] == sr
+        assert d["sum_sq"] == sum((s - 128) ** 2 for s in samples)
+
+    prop()
