@@ -1404,6 +1404,95 @@ def _pii_scrub_oracle_sql() -> str:
         FROM (SELECT c_custkey AS k FROM customer)"""
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pass as ONE DataFrame
+    program — the thing a 100 TB pipeline actually runs nightly:
+
+        normalize → quality gate (≥40 ws-tokens) → exact dedup
+        (first-writer-wins on canonical text) → near-dup canonical
+        filter (banded-LSH pairs → transitive closure, keep cluster
+        canonicals) → deterministic stratified sample (all long docs,
+        20% of short).
+
+    Every stage is an already-oracle-checked operator; this query proves
+    the COMPOSITION end to end (the oracle chains the same stages as
+    CTEs). Output = the surviving training set with its audit columns."""
+    from webcrawler_go_spark.operators.components import canonicalize_closure
+    from webcrawler_go_spark.operators.similarity import lsh_candidate_pairs_banded
+    from webcrawler_go_spark.operators.textanalysis import (
+        normalize_text,
+        stratified_sample,
+        token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+    tok = norm.withColumn("n_tokens", token_count_ws(F.col("norm_text")))
+    q = tok.filter(F.col("n_tokens") >= 40)
+    first = q.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    q = q.join(first.select("doc_id"), "doc_id")
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_candidate_pairs_banded(
+        emb, n_tables=4, bits_per_table=8, threshold=0.5, scale=1000
+    )
+    labels = canonicalize_closure(d.select("doc_id"), pairs)
+    q = q.join(labels, "doc_id").filter(F.col("canonical_id") == F.col("doc_id"))
+    q = q.withColumn(
+        "stratum",
+        F.when(F.length("norm_text") >= 200, "long").otherwise("short"),
+    )
+    kept = stratified_sample(q, "stratum", {"long": 1.0, "short": 0.2})
+    return kept.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "stratum"
+    )
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    """The same five stages as chained CTEs over the recursive-closure
+    oracle fragments already proven individually."""
+    return f"""
+WITH RECURSIVE {_semantic_pairs_cte(4, 8, 0.5)},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lbl) AS canon FROM reach GROUP BY u),
+norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '\\s+', ' ', 'g'))) AS norm_text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, norm_text,
+         CASE WHEN trim(norm_text) = '' THEN 0
+              ELSE len(string_split_regex(trim(norm_text), '\\s+')) END AS n_tokens
+  FROM norm
+),
+quality AS (SELECT * FROM tok WHERE n_tokens >= 40),
+first_writer AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY norm_text),
+canonical AS (
+  SELECT q.doc_id, q.n_tokens,
+         CASE WHEN length(q.norm_text) >= 200 THEN 'long' ELSE 'short' END AS stratum
+  FROM quality q
+  JOIN first_writer USING (doc_id)
+  LEFT JOIN comp ON comp.doc_id = q.doc_id
+  WHERE COALESCE(comp.canon, q.doc_id) = q.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stratum
+FROM canonical
+WHERE (((doc_id % 999999937) * 2654435761) % 999999937) % 1000000
+      < CAST((CASE WHEN stratum = 'long' THEN 1.0 ELSE 0.2 END) * 1000000 AS BIGINT)
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import quality_features
 
@@ -2078,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_cmyk_transform": q_media_cmyk_transform,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
+        "curation_pipeline": q_curation_pipeline,
         # (4) green in r2 but code changed this round — re-prove
         "dedup_embedding_semantic": q_dedup_embedding_semantic,  # banded routing
         "embedding_ann_lsh_banded": q_embedding_ann_lsh_banded,  # sig builder + verify
@@ -2556,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
             )""",
         "lang_id": _lang_id_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "curation_pipeline": _curation_pipeline_oracle_sql(),
         "text_repetition": """
             WITH w AS (
               SELECT doc_id,
