@@ -888,7 +888,17 @@ def _ivf_topk_oracle_sql(
     import pyarrow.parquet as pq
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except (OSError, FileNotFoundError):
+        # golden oracles are data-derived; an absent table must fail THIS
+        # query's comparison, not break oracle_sql() for every query
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor,"
+            " CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank WHERE false"
+        )
     ids = tbl.column("vec_id").to_numpy()
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
     order = np.argsort(ids, kind="stable")
@@ -900,23 +910,31 @@ def _ivf_topk_oracle_sql(
             acc += float(x)
         return acc
 
-    def assign(cents: np.ndarray) -> np.ndarray:
-        # L2 argmin, diffs/squares in float32, sums in float64; ties → lowest cell
+    # live-cell tracking mirrors Spark's groupBy semantics: a Lloyd cell
+    # that loses every member yields NO row in ivf_assign's centroid
+    # groupBy — it is DROPPED, never kept stale. (No cell empties on the
+    # current data; this keeps the replication faithful regardless.)
+    cents = vecs[:n_cells].copy()
+    live = list(range(n_cells))
+
+    def assign_live(cs, lv) -> np.ndarray:
         cells = np.empty(len(vecs), dtype=np.int64)
         for i, v in enumerate(vecs):
-            d = (v[None, :] - cents) * (v[None, :] - cents)  # float32
+            d = (v[None, :] - cs[lv]) * (v[None, :] - cs[lv])
             d2 = [seq_sum64(row) for row in d]
-            cells[i] = int(np.argmin(d2))  # first occurrence = lowest cell id
+            cells[i] = lv[int(np.argmin(d2))]  # ties → lowest live cell id
         return cells
 
-    cents = vecs[:n_cells].copy()
     for _ in range(2):
-        cells = assign(cents)
-        for c in range(n_cells):
+        cells = assign_live(cents, live)
+        new_live = []
+        for c in live:
             members = vecs[cells == c]
             if len(members):
                 cents[c] = members.astype(np.float64).mean(axis=0).astype(np.float32)
-    final_cells = assign(cents)
+                new_live.append(c)
+        live = new_live
+    final_cells = assign_live(cents, live)
 
     def r6(x: float) -> float:
         # repr(x) = shortest round-trip decimal = java BigDecimal.valueOf
@@ -925,13 +943,13 @@ def _ivf_topk_oracle_sql(
         return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
     def probed_cells(qi: int) -> list[int]:
-        # nprobe nearest cells by (d2, cell) — same tie-break as the
-        # Spark Window (orderBy _d2 asc, cell asc)
+        # nprobe nearest LIVE cells by (d2, cell) — same tie-break as
+        # the Spark Window (orderBy _d2 asc, cell asc)
         v = vecs[qi]
-        d = (v[None, :] - cents) * (v[None, :] - cents)
+        d = (v[None, :] - cents[live]) * (v[None, :] - cents[live])
         d2 = [seq_sum64(row) for row in d]
-        order = sorted(range(n_cells), key=lambda c: (d2[c], c))
-        return order[:nprobe]
+        order = sorted(range(len(live)), key=lambda j: (d2[j], live[j]))
+        return [live[j] for j in order[:nprobe]]
 
     rows = []
     for qi in range(len(ids)):

@@ -38,3 +38,12 @@ def test_multiple_components_and_singletons(spark):
         for r in canonicalize_closure(docs, pairs).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6, 7: 2, 8: 3}
+
+
+def test_non_convergence_raises_instead_of_wrong_labels(spark):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, 8)]), max_iter=2
+        )

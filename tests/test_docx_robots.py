@@ -235,3 +235,33 @@ def test_pdf_simple_font_still_latin1():
 
     texts = ["plain latin-1 text", "café naïve"]
     assert pdf_text_blocks(make_pdf(texts)) == texts
+
+
+def test_pdf_cid_surrogate_pair_bfrange_extracts_empty_not_crash():
+    """A ToUnicode bfrange whose destination is a UTF-16 surrogate PAIR
+    (math alphanumerics) must not crash extraction (round-3 review
+    finding): increment-by-codepoint doesn't apply to multi-unit
+    destinations, so those codes extract empty."""
+    import zlib as _z
+
+    from webcrawler_go_spark.operators.doc_extract import (
+        make_pdf_cid,
+        pdf_text_blocks,
+    )
+
+    blob = make_pdf_cid(["ab"], compress=False)
+    # splice a surrogate-pair bfrange into the cmap stream
+    bad = b"begincmap\n1 beginbfrange\n<0000> <0001> <D835DC00>\nendbfrange\nendcmap"
+    m = b"begincmap"
+    start = blob.index(m)
+    end = blob.index(b"endcmap") + len(b"endcmap")
+    patched = blob[:start] + bad + blob[end:]
+    # the spliced cmap replaced the real one: every CID is now unmapped
+    # (or in the skipped surrogate range) -> extract empty, never raise
+    assert pdf_text_blocks(patched) == []
+    # and a 4-digit LONE surrogate base is skipped rather than emitting
+    # unpaired surrogates
+    bad2 = b"begincmap\n1 beginbfrange\n<0000> <0003> <D835>\nendbfrange\nendcmap"
+    patched2 = blob[:start] + bad2 + blob[end:]
+    for t in pdf_text_blocks(patched2):
+        t.encode("utf-8")  # must be valid UTF-8 (no lone surrogates)

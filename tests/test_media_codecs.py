@@ -224,3 +224,11 @@ def test_wav_roundtrip_property():
         assert d["sum_sq"] == sum((s - 128) ** 2 for s in samples)
 
     prop()
+
+
+def test_png_truncated_raises_value_error():
+    blob = encode_png(4, 4, _pixels(4, 4))
+    with pytest.raises(ValueError):
+        decode_png(blob[:20])  # truncated mid-chunk
+    with pytest.raises(ValueError):
+        decode_png(blob[:-6])  # truncated tail

@@ -90,12 +90,14 @@ def test_engine_maintenance_equivalent_and_bounded(spark, state_dir):
         eng.seed(spark.createDataFrame(
             gen_seeds(world, 4), "url string, priority double, seq int"
         ))
-        for r in range(4):
-            eng.run_round(r)
+        sched = [eng.run_round(r).scheduled for r in range(4)]
         log = sorted((r.url, r.status) for r in eng.fetch_log().collect())
         seen = sorted(r.url_norm for r in eng.url_seen().collect())
-        outs.append((log, seen, len(eng.log_t.current_snapshot()["files"])))
-    (log0, seen0, files0), (log2, seen2, files2) = outs
+        outs.append((log, seen, len(eng.log_t.current_snapshot()["files"]), sched))
+    (log0, seen0, files0, sched0), (log2, seen2, files2, sched2) = outs
     assert log0 == log2
     assert seen0 == seen2
     assert files2 <= files0
+    # per-round scheduled must be the ROUND's count even on maintenance
+    # rounds (compaction replaces the head manifest; round-3 review fix)
+    assert sched0 == sched2

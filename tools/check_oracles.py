@@ -88,9 +88,8 @@ def main(names: list[str]) -> int:
             sdf = qs[name](spark, SF_DIR)
             spdf = sdf.toPandas()
             scols = list(spdf.columns)
-            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
             if name not in oracles:
-                print(f"  {name:28s} rows-only: {len(srows)} rows (no oracle)")
+                print(f"  {name:28s} rows-only: {len(spdf)} rows (no oracle)")
                 continue
             opdf = con.sql(oracles[name]).df()
             # pandas NaT -> None so both engines' nulls normalize alike

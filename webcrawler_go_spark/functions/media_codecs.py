@@ -88,8 +88,16 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) from a PNG byte string.
 
     Verifies the signature and every chunk CRC, inflates IDAT, reverses
-    filters 0-4. Raises ValueError on corrupt input, NotImplementedError
-    on unsupported PNG variants (interlaced, paletted, 16-bit)."""
+    filters 0-4. Raises ValueError on corrupt input (incl. truncated
+    chunks and undecompressable IDAT), NotImplementedError on
+    unsupported PNG variants (interlaced, paletted, 16-bit)."""
+    try:
+        return _decode_png_inner(blob)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(blob: bytes) -> tuple[int, int, int, bytes]:
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

@@ -30,14 +30,17 @@ def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``,
     where component = MIN node id reachable through undirected edges.
 
     Min-label propagation: label(u) starts as u; each round
     label(u) := min(label(u), min over neighbors v of label(v)); stop
-    when no label changed. Deterministic, order-insensitive.
+    when no label changed. Deterministic, order-insensitive. Converges
+    in O(graph diameter) rounds; if ``max_iter`` is hit while labels
+    are still changing the result would be WRONG (one cluster split
+    into several), so that raises instead of silently returning.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -50,6 +53,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -70,7 +74,13 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter exceeds the cap); raise max_iter"
+        )
     return labels
 
 

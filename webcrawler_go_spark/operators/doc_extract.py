@@ -252,10 +252,19 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
             if lo_t[0] is None or hi_t[0] is None:
                 break
             lo, hi = int(lo_t[0], 16), int(hi_t[0], 16)
-            if dst_t[0] is not None:  # scalar base: increment last unit
+            if dst_t[0] is not None:
+                # scalar base: increment last unit. A destination longer
+                # than 4 hex digits is a UTF-16 string (e.g. a surrogate
+                # pair for math alphanumerics) — increment-by-codepoint
+                # doesn't apply; decode the base once and map the whole
+                # range only when it IS a single BMP unit, else skip the
+                # range (extract empty, not crash/not wrong).
                 base = int(dst_t[0], 16)
-                for c in range(lo, hi + 1):
-                    cmap[c] = chr(base + (c - lo))
+                if len(re.sub(rb"\s", b"", dst_t[0])) <= 4:
+                    for c in range(lo, hi + 1):
+                        cp = base + (c - lo)
+                        if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                            cmap[c] = chr(cp)
             else:  # array form: one dst string per consecutive code
                 dsts = re.findall(rb"<([0-9A-Fa-f\s]*)>", dst_t[1])
                 for off, d in enumerate(dsts):
@@ -294,7 +303,12 @@ def pdf_cid_fonts(payload: bytes) -> dict[str, dict[int, str]]:
                         data = zlib.decompressobj().decompress(data)
                     except zlib.error:
                         continue
-                fonts[name] = _parse_tounicode(data)
+                try:
+                    fonts[name] = _parse_tounicode(data)
+                except (ValueError, OverflowError):
+                    # malformed cmap: extract empty, never crash the
+                    # extraction path (parser/pdf.go error contract)
+                    fonts[name] = {}
     return fonts
 
 

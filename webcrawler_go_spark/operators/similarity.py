@@ -348,10 +348,16 @@ def banded_signature_keys(
     2000×64 vectors at B×K=32 — while the exploded SUM form runs the
     identical math in hash-aggregate codegen in <1s. Shuffle stays light:
     partial (map-side) aggregation collapses the 64× explosion to one
-    row per id before the exchange."""
+    row per id before the exchange.
+
+    Precondition: ``id_col`` is unique per row (true of vec_id) — the
+    groupBy would merge duplicate ids into one meaningless signature.
+    Empty/null vectors keep a row via posexplode_outer and land in
+    bucket 0 of every table (NULL sums → no bit set), matching the
+    per-row builder."""
     n_planes = n_tables * bits_per_table
     q = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
-    ex = emb.select(F.col(id_col).alias("id"), F.posexplode(q).alias("pos", "qx"))
+    ex = emb.select(F.col(id_col).alias("id"), F.posexplode_outer(q).alias("pos", "qx"))
     d = F.col("pos") + 1  # the plane family indexes dimensions from 1
     aggs = [
         F.sum(

@@ -367,8 +367,11 @@ class CrawlEngine:
                     mode="replace", lineage={"round": r + 1},
                 ),
             ]
-            for f_ in futures:
-                f_.result()
+            commit_manifests = [f_.result() for f_ in futures]
+        # the fetch-log commit's own manifest — NOT re-read from the head
+        # later: maintenance may REPLACE the head with a compact snapshot
+        # whose new_rows is the whole-table count, not this round's
+        log_manifest = commit_manifests[2]
         _mark("commits")
 
         if self.maintenance_interval and (r + 1) % self.maintenance_interval == 0:
@@ -385,7 +388,7 @@ class CrawlEngine:
             # derivable later from the fetch_log table
             st = RoundStats(
                 round=r,
-                scheduled=self.log_t.current_snapshot()["new_rows"],
+                scheduled=log_manifest["new_rows"],
                 fetched_ok=0, blocked=0, errors=0, new_documents=0, bytes=0,
             )
             self.stats.append(st)
