@@ -2820,7 +2820,8 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN doc_id % 4 IN (0, 2)
                          THEN CAST(strlen(text) % 1080 + 1 AS INT) END) AS height,
                    (CASE WHEN doc_id % 4 = 2
-                         THEN CAST(strlen(text) % 240 + 1 AS INT) END) AS n_frames
+                         THEN CAST(strlen(text) % 240 + 1 AS INT) END) AS n_frames,
+                   CAST(NULL AS VARCHAR) AS decode_error
             FROM documents""",
     }
 

@@ -218,6 +218,27 @@ def test_pdf_cid_unmapped_codes_extract_empty_not_wrong():
     assert pdf_text_blocks(blob2) == ["abc"]  # unknown CIDs vanish
 
 
+def test_parse_tounicode_empty_destination_keeps_pairing():
+    """A legal empty <> destination must NOT shift the flat code/dst
+    pairing — every subsequent mapping in the block stays correct (the
+    old parser dropped the empty token and silently corrupted them)."""
+    from webcrawler_go_spark.operators.doc_extract import _parse_tounicode
+
+    data = (b"begincmap\n3 beginbfchar\n"
+            b"<0041> <0061>\n"       # A -> 'a'
+            b"<0042> <>\n"           # B -> empty string (legal)
+            b"<0043> <0063>\n"       # C -> 'c'  (must not become <0043>-><0063> shifted)
+            b"endbfchar\nendcmap")
+    cmap = _parse_tounicode(data)
+    assert cmap[0x41] == "a"
+    assert cmap[0x42] == ""
+    assert cmap[0x43] == "c"
+    # malformed empty SOURCE code: skip that pair, later pairs unharmed
+    data2 = (b"2 beginbfchar\n<> <0078>\n<0044> <0064>\nendbfchar")
+    cmap2 = _parse_tounicode(data2)
+    assert cmap2 == {0x44: "d"}
+
+
 def test_pdf_cid_font_without_tounicode_extracts_empty():
     from webcrawler_go_spark.operators.doc_extract import (
         make_pdf_cid,

@@ -47,13 +47,17 @@ def test_media_decode_fake(spark):
     assert rows["media://3"].n_bytes == 20
 
 
-def test_media_decode_real_path_stubbed(spark):
+def test_media_decode_real_path_unknown_format_error_row(spark):
+    """Text bytes are no known container: the real path emits a
+    null-feature decode_error row rather than raising (per-row
+    isolation)."""
     docs = spark.createDataFrame(
         [(0, "x", "en", "s")], "doc_id long, text string, lang string, source string"
     )
     feats = decode_media(media_blobs_from_documents(docs), use_fake_decoder=False)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        feats.collect()
+    rows = feats.collect()
+    assert len(rows) == 1
+    assert rows[0].width is None and "codec" in rows[0].decode_error
 
 
 def test_sample_frames_plumbing(spark):

@@ -98,6 +98,34 @@ def test_png_unsupported_variants_raise_not_implemented():
         decode_png(blob)
 
 
+def test_png_decompression_bomb_rejected_before_inflate():
+    """A small blob claiming huge IHDR dims must be rejected BEFORE
+    inflating (untrusted crawl payloads: a few-KB zlib stream expanding
+    to gigabytes would otherwise OOM the executor)."""
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    # claims 50000×50000 RGB (7.5 GB raw) with a tiny highly-compressible IDAT
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="exceeds cap"):
+        decode_png(blob)
+
+    # oversized-but-under-cap stream stops at expected+1 bytes (size
+    # mismatch), never materializing the full inflation
+    good = encode_png(3, 2, _pixels(3, 2))
+    bomb = bytearray(good)
+    # shrink claimed dims so the real IDAT overshoots `expected`
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    patched = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + good[8 + 12 + 13:])  # reuse original IDAT+IEND chunks
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(patched)
+
+
 def test_wav_8bit_decode_matches_audioop():
     samples = [(i * 37 + 11) % 256 for i in range(200)]
     blob = encode_wav_pcm(samples, sample_rate=8000, sampwidth=1)
@@ -141,15 +169,25 @@ def test_decode_media_real_path_spark(spark):
     assert got["m://wav"].n_frames == 50
 
 
-def test_decode_media_real_path_raises_on_unknown_format(spark):
+def test_decode_media_real_path_isolates_unknown_format(spark):
+    """One unknown/corrupt blob in a batch must NOT abort the job: it
+    yields a null-feature row with decode_error set, while good rows in
+    the same batch decode normally (per-row isolation contract)."""
     from webcrawler_go_spark.operators.multimodal import decode_media
 
+    png = encode_png(3, 2, _pixels(3, 2))
+    corrupt_png = png[:-10] + b"\x00" * 10  # breaks IEND CRC
     blobs = spark.createDataFrame(
-        [("m://x", "video", bytearray(b"\x00\x01notacodec"), {})],
+        [("m://x", "video", bytearray(b"\x00\x01notacodec"), {}),
+         ("m://ok", "image", bytearray(png), {}),
+         ("m://bad", "image", bytearray(corrupt_png), {})],
         "media_ref string, media_type string, payload binary, meta map<string,string>",
     )
-    with pytest.raises(Exception, match="no stdlib codec"):
-        decode_media(blobs, use_fake_decoder=False).collect()
+    got = {r.media_ref: r for r in decode_media(blobs, use_fake_decoder=False).collect()}
+    assert "no stdlib codec" in got["m://x"].decode_error
+    assert got["m://x"].width is None
+    assert (got["m://ok"].width, got["m://ok"].decode_error) == (3, None)
+    assert "CRC" in got["m://bad"].decode_error
 
 
 def test_rgb_to_cmyk_known_colors():

@@ -3,7 +3,7 @@ on a multi-executor cluster).
 
     python tools/package.py
     spark-submit --py-files dist/webcrawler_go_spark.zip submit_crawl.py \
-        --seeds seeds.parquet --state s3://bucket/crawl-state --rounds 20
+        --seeds seeds.parquet --state s3://example-bucket/crawl-state --rounds 20
 
 Produces dist/webcrawler_go_spark.zip (the package, no tests/fixtures).
 """

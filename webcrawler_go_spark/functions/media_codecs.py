@@ -24,6 +24,11 @@ import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# decompression-bomb cap: largest raw pixel buffer the decoder will
+# inflate (256 MiB ≈ a 9500×9500 RGBA image — far above fixture scale,
+# far below executor heap)
+_PNG_MAX_RAW_BYTES = 256 * 1024 * 1024
+
 
 # ---------------------------------------------------------------------------
 # PNG
@@ -127,9 +132,20 @@ def _decode_png_inner(blob: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bound BEFORE inflating: on untrusted crawl payloads a tiny blob
+    # claiming huge IHDR dims would otherwise act as a decompression bomb
+    # (executor OOM); cap the claimed raw size and stop the inflater at
+    # expected+1 bytes so an over-long stream fails without materializing
+    if expected > _PNG_MAX_RAW_BYTES:
+        raise ValueError(
+            f"PNG raw size {expected} exceeds cap {_PNG_MAX_RAW_BYTES} "
+            f"({width}x{height}x{channels})"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("IDAT size mismatch")
 
     out = bytearray(height * stride)

@@ -238,10 +238,22 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
         return _hex_bytes(h).decode("utf-16-be", errors="replace")
 
     for block in _BFCHAR_RE.finditer(data):
-        toks = _HEX_TOKEN_RE.findall(block.group(1))
-        flat = [t[0] for t in toks if t[0] is not None and t[0] != b""]
+        # keep EMPTY <> tokens in the pair stream: a legal empty
+        # destination string must not shift the flat code/dst pairing
+        # (dropping it silently corrupted every later mapping in the
+        # block — wrong text, not empty text). finditer distinguishes
+        # an empty hex match (group(1) == b"") from the array
+        # alternative (group(1) is None).
+        flat = [
+            m.group(1)
+            for m in _HEX_TOKEN_RE.finditer(block.group(1))
+            if m.group(1) is not None
+        ]
         for i in range(0, len(flat) - 1, 2):
-            cmap[int(flat[i], 16)] = u16(flat[i + 1])
+            code = re.sub(rb"\s", b"", flat[i])
+            if code == b"":
+                continue  # malformed empty SOURCE code: skip pair, stay aligned
+            cmap[int(code, 16)] = u16(flat[i + 1])
     for block in _BFRANGE_RE.finditer(data):
         toks = [
             (m.group(1), m.group(2)) for m in _HEX_TOKEN_RE.finditer(block.group(1))

@@ -7,8 +7,9 @@ stdlib codecs are real — functions/media_codecs.py):
 * ``use_fake_decoder=False`` → REAL decode for formats the stdlib can
   express: PNG (signature/CRC/inflate/filter-reversal pixel math) and
   RIFF/WAV PCM (header parse + sample stats), sniffed by magic bytes.
-  Other formats (JPEG/MP4/...) raise ``NotImplementedError`` — an
-  honest container boundary, not pass-farming.
+  Other formats (JPEG/MP4/...) and corrupt payloads emit a NULL-feature
+  row with ``decode_error`` set — an honest container boundary that
+  keeps per-row isolation (one bad blob never aborts the job).
 * ``use_fake_decoder=True`` → deterministic fake features derived from
   payload length (keeps the full Spark path testable for formats with
   no stdlib codec).
@@ -43,6 +44,12 @@ MEDIA_FEATURES = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
+        # per-row decode failure channel: unknown container / corrupt
+        # payload yields a null-feature row with the reason here instead
+        # of failing the whole Spark task — one bad blob in a 100 TB
+        # crawl batch must not abort the job (the extract-empty-never-
+        # crash contract the PDF/DOCX extractors follow)
+        StructField("decode_error", StringType(), True),
     ]
 )
 
@@ -74,14 +81,17 @@ def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
 
     ``use_fake_decoder=True`` → deterministic fake features derived from
     payload length (keeps the full Spark path testable with no codec
-    libs). ``False`` → attempts real decoding and raises
-    NotImplementedError (codec libraries are not in this container)."""
+    libs). ``False`` → real stdlib decode (PNG, WAV by magic sniff);
+    formats with no stdlib codec or corrupt payloads emit a NULL-feature
+    row with ``decode_error`` set — per-row isolation, one bad blob
+    never aborts the Spark job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if not use_fake_decoder:
                 # real path: stdlib codecs by magic sniff (PNG, WAV);
-                # formats with no stdlib decoder raise — honest boundary
+                # anything else → decode_error row — honest boundary,
+                # crash-isolated per row
                 from webcrawler_go_spark.functions.media_codecs import (
                     decode_png,
                     decode_wav,
@@ -92,22 +102,31 @@ def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
                     b["media_ref"], b["media_type"], b["payload"]
                 ):
                     blob = bytes(payload)
-                    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-                        w, h, _ch, _px = decode_png(blob)
-                        rows.append((ref, mt, len(blob), w, h, None))
-                    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-                        d = decode_wav(blob)
-                        rows.append((ref, mt, len(blob), None, None, d["n_samples"]))
-                    else:
-                        raise NotImplementedError(
-                            "no stdlib codec for this format; pass "
-                            "use_fake_decoder=True (real paths: PNG, WAV)"
+                    try:
+                        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                            w, h, _ch, _px = decode_png(blob)
+                            rows.append((ref, mt, len(blob), w, h, None, None))
+                        elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                            d = decode_wav(blob)
+                            rows.append(
+                                (ref, mt, len(blob), None, None, d["n_samples"], None)
+                            )
+                        else:
+                            rows.append(
+                                (ref, mt, len(blob), None, None, None,
+                                 "no stdlib codec for this format "
+                                 "(real paths: PNG, WAV)")
+                            )
+                    except Exception as exc:  # noqa: BLE001 — per-row isolation
+                        rows.append(
+                            (ref, mt, len(blob), None, None, None,
+                             f"{type(exc).__name__}: {exc}")
                         )
                 yield pd.DataFrame(
                     rows,
                     columns=[
                         "media_ref", "media_type", "n_bytes",
-                        "width", "height", "n_frames",
+                        "width", "height", "n_frames", "decode_error",
                     ],
                 ).astype(
                     {"n_bytes": "int64", "width": "Int32",
@@ -125,6 +144,7 @@ def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
                     "width": (n % 1920 + 1).where(is_img | is_vid).astype("Int32"),
                     "height": (n % 1080 + 1).where(is_img | is_vid).astype("Int32"),
                     "n_frames": (n % 240 + 1).where(is_vid).astype("Int32"),
+                    "decode_error": pd.Series([None] * len(b), dtype="object"),
                 }
             )
 

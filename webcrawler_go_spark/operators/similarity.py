@@ -77,10 +77,31 @@ def _qdot_pandas(a, b):
 
         def _k(x, y):
             if len(x) == 0:
-                return pd.Series([], dtype="int64")
-            xa = np.vstack(x.to_numpy())
-            ya = np.vstack(y.to_numpy())
-            return pd.Series(np.einsum("ij,ij->i", xa, ya))
+                return pd.Series([], dtype="Int64")
+            # null / ragged guard: the HOF _qdot yields NULL for a null
+            # vector or a length mismatch (zip_with null-pads → null
+            # products → null sum); np.vstack would instead raise and
+            # fail the whole task. Map those rows to NA, vectorize the
+            # rest.
+            lens = np.fromiter(
+                (
+                    len(a) if a is not None and b is not None and len(a) == len(b)
+                    else -1
+                    for a, b in zip(x, y)
+                ),
+                dtype=np.int64,
+                count=len(x),
+            )
+            out = pd.array([pd.NA] * len(x), dtype="Int64")
+            out[lens == 0] = 0  # zip_with of two empties → seed 0, not NULL
+            # one einsum per distinct dimensionality (normally exactly 1:
+            # a fixed-dim corpus) — vstack requires uniform row length
+            for d in np.unique(lens[lens > 0]):
+                grp = lens == d
+                xa = np.vstack(x.to_numpy()[grp])
+                ya = np.vstack(y.to_numpy()[grp])
+                out[grp] = np.einsum("ij,ij->i", xa, ya)
+            return pd.Series(out)
 
         _QDOT_PANDAS_KERNEL = F.pandas_udf(_k, "long")
     return _QDOT_PANDAS_KERNEL(a, b)
