@@ -17,9 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # the one sanctioned quadratic: the labeled brute-force cosine baseline
 CARTESIAN_OK = {"embedding_cosine_pairs"}
 # sanctioned broadcast-nested-loop: crossJoin against a BOUNDED tiny dim
-# (IVF centroid assignment broadcasts n_cells=8 centroid rows — O(n·k),
-# not O(n²); the per-row side never exceeds the cell count)
-BNLJ_OK = {"embedding_ivf_topk"}
+BNLJ_OK: set[str] = set()
 # derive small synthetic frames via createDataFrame → no parquet scan
 NO_SCAN = {"head_probe", "url_hash31", "robots_parse"}
 
@@ -59,6 +57,20 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert "PushedFilters: [" in plan
     # column pruning: the scan must not read every documents column
     assert "text" in plan
+
+
+def test_ivf_plan_free_of_interpreted_hofs(spark):
+    """Round-4 directive #3: the IVF hot path (centroid assignment +
+    probe scoring) must run in whole-stage codegen — no interpreted
+    higher-order functions (aggregate/zip_with evaluate per row outside
+    codegen, the measured ~20× trap at 10^9 vectors)."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    assert "ArrayAggregate" not in plan
+    assert "ZipWith" not in plan
+    assert "zip_with(" not in plan
+    # HOF aggregate prints lowercase `aggregate(...)`; the codegen
+    # HashAggregate/SortAggregate nodes print with a capital A
+    assert "aggregate(" not in plan
 
 
 def test_no_row_at_a_time_python_udfs(spark):

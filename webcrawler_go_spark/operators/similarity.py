@@ -111,6 +111,21 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("_norm", _norm(F.col(vec_col)))
 
 
+def norms_codegen(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, _norm) via posexplode+SUM — bit-identical to ``_norm``
+    (float32 squares accumulated sequentially in float64: one agg
+    partial per id, rows arriving in pos order) but inside whole-stage
+    codegen instead of the interpreted HOF evaluator. Precondition:
+    non-null, non-empty vectors (posexplode drops empty rows where the
+    HOF yields 0.0)."""
+    ex = emb.select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    return ex.groupBy("id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("double"))).alias("_norm")
+    )
+
+
 def cosine_pairs_quantized(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -196,19 +211,36 @@ def assign_to_centroids(
     """(id, v) × broadcast centroids → (id, cell) for the ``nprobe``
     nearest cells by L2 (deterministic tie-break on cell id). nprobe=1 is
     the assignment used to BUILD the index; queries probe nprobe ≥ 1
-    cells to trade compute for recall (the standard IVF knob)."""
+    cells to trade compute for recall (the standard IVF knob).
+
+    Whole-stage-codegen form (round-4 directive #3): posexplode the
+    vector, broadcast-join the exploded centroids on dimension index,
+    SUM the float32 squared deltas per (id, cell) in float64. Bit-
+    identical to the zip_with/aggregate HOF it replaces — the hash
+    aggregate's partial phase accumulates the exploded rows in pos order
+    within one task (each id's vector is one input row, so each
+    (id, cell) group has exactly one partial) — but it runs inside
+    codegen instead of the interpreted per-row HOF evaluator, the
+    measured ~20× trap at 10^9 vectors (see banded_signature_keys).
+    Precondition: fixed-dimension corpus (the join on pos contributes
+    only shared dimensions; zip_with null-padded ragged inputs to a
+    NULL distance instead)."""
     from pyspark.sql import Window
 
-    joined = e.crossJoin(F.broadcast(centroids))
-    d2 = F.aggregate(
-        F.zip_with("v", "centroid", lambda a, b: ((a - b) * (a - b)).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    ex = e.select("id", F.posexplode("v").alias("pos", "x"))
+    cx = centroids.select("cell", F.posexplode("centroid").alias("pos", "c"))
+    d2 = (
+        ex.join(F.broadcast(cx), "pos")
+        .groupBy("id", "cell")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast("double")
+            ).alias("_d2")
+        )
     )
     w_best = Window.partitionBy("id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
     return (
-        joined.withColumn("_d2", d2)
-        .withColumn("_rk", F.row_number().over(w_best))
+        d2.withColumn("_rk", F.row_number().over(w_best))
         .filter(F.col("_rk") <= nprobe)
         .select("id", "cell")
     )
@@ -287,36 +319,48 @@ def ivf_topk(
     from pyspark.sql import Window
 
     assignments, cents = ivf_assign(emb, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    # norms via the same codegen posexplode+SUM form as the assignment
+    # (bit-identical to the HOF _norm: float32 squares, sequential
+    # float64 accumulation inside one partial per id)
+    norms = norms_codegen(emb, vec_col=vec_col, id_col=id_col)
     base = (
-        with_norm(emb, vec_col)
-        .join(assignments, emb[id_col] == assignments["id"])
-        .select(
-            F.col(id_col).alias("neighbor"),
-            "cell",
-            F.col(vec_col).alias("v"),
-            F.col("_norm").alias("nv"),
-        )
+        emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"))
+        .join(assignments.withColumnRenamed("id", "neighbor"), "neighbor")
+        .join(norms.withColumnRenamed("id", "neighbor").withColumnRenamed("_norm", "nv"), "neighbor")
     )
     # queries are assigned to the CORPUS centroids (not their own k-means)
     qe = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qa = assign_to_centroids(qe, cents, nprobe=nprobe)
+    qnorms = norms_codegen(queries, vec_col=vec_col, id_col=id_col)
     q = (
-        with_norm(queries, vec_col)
-        .join(qa, queries[id_col] == qa["id"])
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("cell").alias("qcell"),
-            F.col(vec_col).alias("qv"),
-            F.col("_norm").alias("nq"),
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .join(qa.withColumnRenamed("id", "query_id"), "query_id")
+        .join(
+            qnorms.withColumnRenamed("id", "query_id").withColumnRenamed("_norm", "nq"),
+            "query_id",
         )
+        .withColumnRenamed("cell", "qcell")
     )
     joined = base.join(
         F.broadcast(q), (F.col("cell") == F.col("qcell")) & (F.col("neighbor") != F.col("query_id"))
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
+    # pair dot product: explode the zipped vectors, SUM the float32
+    # products in float64 — codegen, same bits as the HOF _dot (each
+    # (query_id, neighbor) pair is one joined row → one agg partial in
+    # pos order). Build assignment is nprobe=1, so each pair occurs once.
+    ex = joined.select(
+        "query_id", "neighbor", "nv", "nq",
+        F.posexplode(F.arrays_zip("v", "qv")).alias("pos", "z"),
+    )
+    dots = ex.groupBy("query_id", "neighbor").agg(
+        F.sum((F.col("z.v") * F.col("z.qv")).cast("double")).alias("_dot"),
+        F.first("nv").alias("nv"),
+        F.first("nq").alias("nq"),
+    )
+    cos = F.col("_dot") / (F.col("nv") * F.col("nq"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
     return (
-        joined.withColumn("cosine", F.round(cos, 6))
+        dots.withColumn("cosine", F.round(cos, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor", "cosine", F.col("rank").cast("int").alias("rank"))
