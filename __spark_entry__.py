@@ -40,6 +40,7 @@ from webcrawler_go_spark.functions.urls import (
     sanitize_filename_cols,
     sanitize_headline_filename_cols,
 )
+from webcrawler_go_spark.operators.textanalysis import LANG_STOPWORDS
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -1897,30 +1898,40 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc
 """
 
 
+def _stopword_hits_sql(text_expr: str, words: list[str]) -> str:
+    """Single-pass whole-word hit count (the Spark twin:
+    size(array_intersect(split(lower(text), '\\W+'), profile)))."""
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return (
+        f"COALESCE(len(list_intersect("
+        f"string_split_regex(lower({text_expr}), '\\W+'), [{lits}])), 0)"
+    )
+
+
 def _lang_id_sql_scores(text_expr: str) -> dict[str, str]:
     from webcrawler_go_spark.operators.textanalysis import LANG_STOPWORDS
 
     return {
-        lang: "("
-        + " + ".join(
-            f"(CASE WHEN regexp_matches(lower({text_expr}), '\\b{w}\\b') THEN 1 ELSE 0 END)"
-            for w in words
-        )
-        + ")"
+        lang: _stopword_hits_sql(text_expr, words)
         for lang, words in LANG_STOPWORDS.items()
     }
 
 
 def _lang_id_oracle_sql() -> str:
+    """Generated generically from LANG_STOPWORDS so broadening a profile
+    or adding a language updates Spark and oracle from one source; the
+    CASE order mirrors the dict's tie-break order."""
     s = _lang_id_sql_scores("text")
-    best = f"GREATEST({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    langs = list(s)
+    best = "GREATEST(" + ", ".join(s.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {s[lang]} = {best} THEN '{lang}'" for lang in langs[:-1]
+    )
     return f"""
 SELECT doc_id, lang,
   (CASE WHEN {best} = 0 THEN 'und'
-        WHEN {s['en']} = {best} THEN 'en'
-        WHEN {s['de']} = {best} THEN 'de'
-        WHEN {s['fr']} = {best} THEN 'fr'
-        ELSE 'es' END) AS lang_pred
+        {whens}
+        ELSE '{langs[-1]}' END) AS lang_pred
 FROM documents
 """
 
@@ -2637,7 +2648,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_custkey AS k FROM customer) t,
                  unnest(generate_series(0, k % 50 + 20 - 1)) AS u(i)
             GROUP BY k""",
-        "text_quality": """
+        "text_quality": f"""
             SELECT doc_id,
                    n_chars_m, n_tokens, n_punct,
                    ROUND((n_chars_m - (n_tokens - 1)) / GREATEST(n_tokens, 1), 4) AS avg_token_len,
@@ -2653,13 +2664,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
                      ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
                            / GREATEST(CAST(length(text) AS BIGINT), 1), 6) AS punct_ratio,
-                     ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\ba\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\bin\\b') THEN 1 ELSE 0 END)
-                      + (CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END)) AS en_hits
+                     {_stopword_hits_sql("text", LANG_STOPWORDS["en"])} AS en_hits
               FROM documents
             )""",
         "lang_id": _lang_id_oracle_sql(),
