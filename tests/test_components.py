@@ -40,6 +40,23 @@ def test_multiple_components_and_singletons(spark):
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 6, 7: 2, 8: 3}
 
 
+def test_diameter_50_path_converges_in_log_rounds(spark):
+    """Pointer doubling (round-4 directive #8): a diameter-50 path graph
+    must converge in O(log d) iterations, not O(d). Flood extends reach
+    by 1 and doubling doubles it (reach(k) ≈ 2^(k+1) − 2), so 50 hops
+    need 5 propagation rounds + 1 convergence-detection round."""
+    import math
+
+    n = 51  # nodes 1..51, diameter 50
+    stats: dict = {}
+    comp = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(1, n)]), stats=stats
+    )
+    got = {r.node: r.label for r in comp.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["iterations"] <= math.ceil(math.log2(50)) + 2  # = 8; measured 6
+
+
 def test_non_convergence_raises_instead_of_wrong_labels(spark):
     import pytest
 

@@ -11,8 +11,9 @@ chains split into multiple canonicals at scale.
 Scale notes (100 TB / 10^9 nodes):
 - Each iteration is one shuffle-join (edges ⋈ labels on the edge key)
   plus a groupBy-min — both hash-partitioned by node id, no driver data.
-- Convergence is O(graph diameter) iterations of min-label flooding;
-  duplicate clusters are short chains in practice (diameter ≪ 10).
+- Convergence is O(log diameter) iterations: min-label flooding plus a
+  pointer-doubling shortcut per round (duplicate clusters are short
+  chains in practice, but adversarial long chains stay cheap too).
 - The only driver-side values are one converged? count per iteration
   (a 1-row aggregate, same pattern as frontier_loop round stats).
 - ``localCheckpoint`` truncates the lineage each iteration so the plan
@@ -26,21 +27,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the cached RDD behind an (eagerly) localCheckpointed frame.
+    Without this an O(diameter) loop accumulates one cached label-table
+    copy per iteration; the ContextCleaner only reclaims them at GC
+    time."""
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cache hygiene must never fail the job
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``,
     where component = MIN node id reachable through undirected edges.
 
-    Min-label propagation: label(u) starts as u; each round
-    label(u) := min(label(u), min over neighbors v of label(v)); stop
-    when no label changed. Deterministic, order-insensitive. Converges
-    in O(graph diameter) rounds; if ``max_iter`` is hit while labels
-    are still changing the result would be WRONG (one cluster split
-    into several), so that raises instead of silently returning.
+    Min-label propagation WITH pointer doubling (the shortcutting step of
+    the classic large-star/small-star & hash-to-min CC families): each
+    round
+
+        label(u) := min(label(u), min over neighbors v of label(v))   (flood)
+        label(u) := min(label(u), label(label(u)))                    (double)
+
+    The flood step alone needs O(diameter) rounds; the doubling step
+    halves the remaining label-tree depth each round, so long chains
+    converge in O(log diameter) rounds (asserted by the diameter-50 path
+    test). Labels are always ids of same-component nodes (flood
+    propagates neighbor labels; doubling follows a label to that node's
+    label), so correctness is unchanged — stop when no label changed.
+    Deterministic, order-insensitive. If ``max_iter`` is hit while
+    labels are still changing the result would be WRONG (one cluster
+    split into several), so that raises instead of silently returning.
+
+    ``stats``: optional dict, filled with {"iterations": n} on return.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -52,9 +79,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_cp = labels  # handle to the PREVIOUS iteration's checkpointed RDD
 
     converged = False
+    iterations = 0
     for _ in range(max_iter):
+        iterations += 1
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("v"), F.col("label").alias("vlab")),
@@ -63,19 +93,38 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("vlab").alias("nbr_lab"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_lab", "label")).alias("label"),
-                (F.col("nbr_lab") < F.col("label")).alias("changed"),
-            )
+        flooded = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_lab", "label")).alias("label"),
+        )
+        # pointer doubling: follow each label to ITS label (labels are
+        # node ids, so self-join label→node) and take the min — a
+        # shuffle-join on the label key, same partitioning family as the
+        # flood join, no driver data
+        hops = flooded.select(
+            F.col("node").alias("label"), F.col("label").alias("lab2")
+        )
+        doubled = flooded.join(hops, "label", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("lab2", "label")).alias("label"),
+        )
+        new_labels = doubled.join(
+            labels.select("node", F.col("label").alias("old_label")), "node"
+        ).select(
+            "node",
+            "label",
+            (F.col("label") < F.col("old_label")).alias("changed"),
         ).localCheckpoint(eager=True)
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        _unpersist_local_checkpoint(prev_cp)
+        prev_cp = new_labels
         labels = new_labels.select("node", "label")
         if n_changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["iterations"] = iterations
+    _unpersist_local_checkpoint(sym)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
