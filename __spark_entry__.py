@@ -1719,6 +1719,58 @@ def q_pdf_cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, "doc_id long, extracted string")
 
 
+_PDF_FILTER_CYCLE = [
+    ["FlateDecode"],
+    ["RunLengthDecode"],
+    ["ASCIIHexDecode"],
+    ["ASCII85Decode"],
+    ["LZWDecode"],
+    ["ASCII85Decode", "FlateDecode"],  # chained filters, decoded in order
+]
+
+
+def q_pdf_filters_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 breadth (round-4 directive #6; parser/pdf.go:11-53 — pdfcpu
+    handles LZW/RunLength/ASCIIHex/ASCII85 streams and encrypted
+    documents): per row, build a PDF whose content stream is encoded
+    with a filter chain cycled by doc_id (incl. a two-filter chain) —
+    or an /Encrypt-marked document every 7th row — and extract through
+    the stdlib decoders. The oracle states the contract: the original
+    text back for every supported chain, EMPTY (never wrong) for
+    encrypted."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 160).alias("t")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from webcrawler_go_spark.operators.doc_extract import (
+            make_pdf,
+            pdf_text_blocks,
+        )
+
+        for b in batches:
+            names, ext = [], []
+            for did, t in zip(b["doc_id"], b["t"]):
+                did = int(did)
+                if did % 7 == 0:
+                    blob = make_pdf([t], encrypted=True)
+                    names.append("Encrypted")
+                else:
+                    chain = _PDF_FILTER_CYCLE[did % 6]
+                    blob = make_pdf([t], filters=chain)
+                    names.append("+".join(chain))
+                ext.append("\n".join(pdf_text_blocks(blob)))
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "filter_chain": names, "extracted": ext}
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, filter_chain string, extracted string"
+    )
+
+
 def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: REAL DOCX extraction (parser/docx.go:11-31) round trip: build
     a .docx (two runs per paragraph) from each document's text, extract
@@ -2189,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,  # numpy golden oracle NEW r3
         "crawl_multiround": q_crawl_multiround,  # sequential-reference golden oracle NEW r3
         # (3) new this round
+        "pdf_filters_extract": q_pdf_filters_extract,
         "dedup_semantic_closure": q_dedup_semantic_closure,
         "pdf_cid_extract": q_pdf_cid_extract,
         "media_decode_png": q_media_decode_png,
@@ -2739,6 +2792,18 @@ def oracle_sql() -> dict[str, str]:
             FROM canon""",
         "pdf_text_extract": """
             SELECT doc_id, substring(text, 1, 200) AS extracted FROM documents""",
+        "pdf_filters_extract": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 0 THEN 'Encrypted'
+                         WHEN doc_id % 6 = 0 THEN 'FlateDecode'
+                         WHEN doc_id % 6 = 1 THEN 'RunLengthDecode'
+                         WHEN doc_id % 6 = 2 THEN 'ASCIIHexDecode'
+                         WHEN doc_id % 6 = 3 THEN 'ASCII85Decode'
+                         WHEN doc_id % 6 = 4 THEN 'LZWDecode'
+                         ELSE 'ASCII85Decode+FlateDecode' END) AS filter_chain,
+                   (CASE WHEN doc_id % 7 = 0 THEN ''
+                         ELSE substring(text, 1, 160) END) AS extracted
+            FROM documents""",
         "docx_text_extract": """
             SELECT doc_id, substring(text, 1, 150) AS extracted FROM documents""",
         "doc_fingerprint": f"""

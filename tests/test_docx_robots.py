@@ -218,6 +218,51 @@ def test_pdf_cid_unmapped_codes_extract_empty_not_wrong():
     assert pdf_text_blocks(blob2) == ["abc"]  # unknown CIDs vanish
 
 
+def test_pdf_stream_filters_roundtrip_all():
+    """Round-4 directive #6: pdfcpu-parity stream filters — RunLength,
+    ASCIIHex, ASCII85, LZW (+ chains) all round-trip; the LZW encoder
+    reproduces the PDF 1.7 §7.4.4 worked example byte-for-byte."""
+    from webcrawler_go_spark.operators.doc_extract import (
+        _lzw_decode,
+        _lzw_encode,
+        make_pdf,
+        pdf_text_blocks,
+    )
+
+    spec_in = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert _lzw_encode(spec_in).hex() == "800b6050220c0c8501"  # spec example
+    assert _lzw_decode(bytes.fromhex("800b6050220c0c8501")) == spec_in
+    # width transitions 9->12 bits (dict past 511/1023/2047)
+    import random
+
+    rnd = random.Random(7)
+    blob = bytes(rnd.randrange(256) for _ in range(8000))
+    assert _lzw_decode(_lzw_encode(blob)) == blob
+
+    texts = ["mixed filter page", "two (with) escapes \\ fin"]
+    for filt in (["RunLengthDecode"], ["ASCIIHexDecode"], ["ASCII85Decode"],
+                 ["LZWDecode"], ["ASCII85Decode", "FlateDecode"],
+                 ["ASCIIHexDecode", "RunLengthDecode"], []):
+        assert pdf_text_blocks(make_pdf(texts, filters=filt)) == texts, filt
+
+
+def test_pdf_encrypted_and_unsupported_filters_extract_empty():
+    """Encrypted documents and unsupported filters (DCTDecode et al.)
+    extract NOTHING — empty, never wrong (parser/pdf.go contract)."""
+    from webcrawler_go_spark.operators.doc_extract import make_pdf, pdf_text_blocks
+
+    assert pdf_text_blocks(make_pdf(["secret"], encrypted=True)) == []
+    blob = make_pdf(["visible"], filters=["LZWDecode"])
+    assert pdf_text_blocks(blob.replace(b"/LZWDecode", b"/DCTDecode")) == []
+    # corrupt stream under a supported filter: skip stream, no crash
+    blob2 = make_pdf(["ok page"], filters=["LZWDecode"])
+    import re as _re
+
+    m = _re.search(rb"stream\r?\n(.*?)\nendstream", blob2, _re.S)
+    corrupted = blob2.replace(m.group(1), b"\xff" * len(m.group(1)))
+    assert pdf_text_blocks(corrupted) == []
+
+
 def test_parse_tounicode_empty_destination_keeps_pairing():
     """A legal empty <> destination must NOT shift the flat code/dst
     pairing — every subsequent mapping in the block stays correct (the

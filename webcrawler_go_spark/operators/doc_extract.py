@@ -169,6 +169,223 @@ def _decode_hex(h: bytes) -> str:
     return _hex_bytes(h).decode("latin-1")
 
 
+# ---------------------------------------------------------------------------
+# Stream filters (round-4 directive #6; parser/pdf.go parity: pdfcpu
+# decodes LZW/RunLength/ASCIIHex/ASCII85 streams — these are the stdlib
+# re-implementations from the public PDF 1.7 spec §7.4, plus matching
+# encoders for fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte L — L<128: copy next L+1 literals;
+    L>128: repeat next byte 257−L times; L==128: EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                raise ValueError("truncated RunLength literal")
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("truncated RunLength run")
+            out += bytes([data[i + 1]]) * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while run < 128 and i + run < n and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD, odd
+    final digit pads with 0."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    return _hex_bytes(data)
+
+
+def _ascii_hex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    return base64.a85decode(re.sub(rb"\s", b"", data))
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF variant: 9→12-bit codes MSB-first, clear=256,
+    EOD=257, EarlyChange=1 by default)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            # decoder's table lags the encoder's by ONE entry (the first
+            # data code after a clear adds none), so it must switch
+            # width one code earlier than the encoder's own schedule
+            if next_code + early + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder matching ``_lzw_decode`` (leading clear code,
+    trailing EOD, same early-change width schedule)."""
+    codes: list[tuple[int, int]] = [(256, 9)]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        bitbuf = (bitbuf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _flate_decode(data: bytes) -> bytes:
+    # decompressobj, NOT decompress+strip: compressed payloads can
+    # legitimately END in EOL bytes (see pdf_text_blocks note)
+    return zlib.decompressobj().decompress(data)
+
+
+# filter name → (decoder, encoder); encoders exist for fixture building
+_STREAM_CODECS = {
+    "FlateDecode": (_flate_decode, zlib.compress),
+    "RunLengthDecode": (_rle_decode, _rle_encode),
+    "ASCIIHexDecode": (_ascii_hex_decode, _ascii_hex_encode),
+    "ASCII85Decode": (_ascii85_decode, _ascii85_encode),
+    "LZWDecode": (_lzw_decode, _lzw_encode),
+}
+
+_FILTER_SPEC_RE = re.compile(rb"/Filter\s*(?:\[((?:\s*/\w+)*)\s*\]|/(\w+))")
+
+
+def _stream_filters(stream_dict: bytes) -> list[str] | None:
+    """Filter chain from a stream dictionary: [] = no filter, None =
+    stream carries an unsupported/undecodable /Filter entry."""
+    m = _FILTER_SPEC_RE.search(stream_dict)
+    if not m:
+        return [] if b"/Filter" not in stream_dict else None
+    if m.group(2) is not None:
+        return [m.group(2).decode("latin-1")]
+    return [n.decode("latin-1") for n in re.findall(rb"/(\w+)", m.group(1))]
+
+
+def _decode_stream(stream_dict: bytes, data: bytes) -> bytes | None:
+    """Apply the stream's full filter chain in order. Returns None for
+    unsupported filters or corrupt data — callers extract NOTHING from
+    such streams, never wrong text (parser/pdf.go error contract)."""
+    filters = _stream_filters(stream_dict)
+    if filters is None:
+        return None
+    for name in filters:
+        codec = _STREAM_CODECS.get(name)
+        if codec is None:
+            return None  # DCTDecode / JBIG2 / CCITT etc.: skip stream
+        try:
+            data = codec[0](data)
+        except Exception:  # noqa: BLE001 — corrupt stream: extract nothing
+            return None
+    return data
+
+
 def _cid_text(raw: bytes, cmap: dict[int, str]) -> str:
     """Identity-H show string → text: 2-byte big-endian codes through the
     font's ToUnicode cmap. Unmapped codes extract as nothing (empty, not
@@ -309,12 +526,9 @@ def pdf_cid_fonts(payload: bytes) -> dict[str, dict[int, str]]:
                 sm = _OBJ_STREAM_RE.search(tobj)
                 if not sm:
                     continue
-                data = sm.group(1)
-                if b"/FlateDecode" in tobj:
-                    try:
-                        data = zlib.decompressobj().decompress(data)
-                    except zlib.error:
-                        continue
+                data = _decode_stream(tobj, sm.group(1))
+                if data is None:
+                    continue
                 try:
                     fonts[name] = _parse_tounicode(data)
                 except (ValueError, OverflowError):
@@ -324,28 +538,28 @@ def pdf_cid_fonts(payload: bytes) -> dict[str, dict[int, str]]:
     return fonts
 
 
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s*R")
+
+
 def pdf_text_blocks(payload: bytes) -> list[str]:
     """One string per BT…ET text block across all content streams, in
-    document order. FlateDecode streams are inflated; other filters are
-    skipped (extract nothing rather than raise — parser/pdf.go returns
-    false on extraction failure, same contract). Identity-H CID fonts
-    decode through their ToUnicode cmap (``pdf_cid_fonts``); CID strings
-    with no mapping extract empty, not wrong."""
+    document order. Stream filter chains decode through
+    ``_decode_stream`` (Flate, LZW, RunLength, ASCIIHex, ASCII85 — the
+    pdfcpu-covered set, parser/pdf.go:11-53); unsupported filters and
+    ENCRYPTED documents extract nothing rather than wrong text.
+    Identity-H CID fonts decode through their ToUnicode cmap
+    (``pdf_cid_fonts``); CID strings with no mapping extract empty, not
+    wrong."""
+    if _ENCRYPT_RE.search(payload):
+        # encrypted document: content streams are ciphertext — any
+        # "text" walked out of them would be garbage, so extract empty
+        return []
     cid_fonts = pdf_cid_fonts(payload)
     blocks: list[str] = []
     for m in _STREAM_RE.finditer(payload):
-        d, data = m.group(1), m.group(2)
-        if b"/FlateDecode" in d:
-            # decompressobj, NOT decompress+strip: compressed payloads can
-            # legitimately END in 0x0a/0x0d bytes, which a strip() of the
-            # EOL-before-endstream would eat; decompressobj stops at the
-            # stream end and ignores the trailing EOL on its own
-            try:
-                data = zlib.decompressobj().decompress(data)
-            except zlib.error:
-                continue
-        elif b"/Filter" in d:
-            continue  # unsupported filter: skip stream
+        data = _decode_stream(m.group(1), m.group(2))
+        if data is None:
+            continue
         for bt in _BT_RE.finditer(data):
             text = _block_text(bt.group(1), cid_fonts)
             if text:
@@ -461,9 +675,21 @@ def make_pdf_cid(texts: list[str], compress: bool = True) -> bytes:
     return out.getvalue()
 
 
-def make_pdf(texts: list[str], compress: bool = True) -> bytes:
+def make_pdf(
+    texts: list[str],
+    compress: bool = True,
+    filters: list[str] | None = None,
+    encrypted: bool = False,
+) -> bytes:
     """Minimal valid single-font PDF builder (test fixture helper —
-    deterministic; one page per text, one BT block per page)."""
+    deterministic; one page per text, one BT block per page).
+
+    ``filters``: explicit /Filter chain for the content streams (e.g.
+    ["ASCII85Decode", "FlateDecode"]); overrides ``compress``. Encoders
+    apply in REVERSE chain order so decoding in chain order recovers the
+    content (PDF 1.7 §7.4 semantics). ``encrypted=True`` adds an
+    /Encrypt entry to the trailer (boundary fixture: extractors must
+    return nothing, not garbage)."""
     objs: list[bytes] = []
     n_pages = len(texts)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -473,13 +699,19 @@ def make_pdf(texts: list[str], compress: bool = True) -> bytes:
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if filters is None:
+        filters = ["FlateDecode"] if compress else []
     for i, text in enumerate(texts):
         esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
-        filt = b""
-        if compress:
-            content = zlib.compress(content)
-            filt = b" /Filter /FlateDecode"
+        for name in reversed(filters):
+            content = _STREAM_CODECS[name][1](content)
+        if len(filters) == 1:
+            filt = f" /Filter /{filters[0]}".encode()
+        elif filters:
+            filt = (" /Filter [" + " ".join(f"/{n}" for n in filters) + "]").encode()
+        else:
+            filt = b""
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /Contents {page_ids[i] + 1} 0 R "
             f"/Resources << /Font << /F1 3 0 R >> >> "
@@ -500,8 +732,9 @@ def make_pdf(texts: list[str], compress: bool = True) -> bytes:
     out.write(b"0000000000 65535 f \n")
     for off in offsets:
         out.write(b"%010d 00000 n \n" % off)
+    enc = b" /Encrypt 9999 0 R" if encrypted else b""
     out.write(
-        b"trailer << /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer << /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, enc, xref_at)
     )
     return out.getvalue()
