@@ -1038,6 +1038,109 @@ def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 redirect-limit (crawler.go:189-199 CheckRedirect) as a driver
+    row: the http fetch kernel walks a DETERMINISTIC synthetic redirect
+    world (an injected transport — /r/<i>/<k> 301-redirects down to
+    /r/0/<k>, which serves 200 'arrived k=<k> hops=<n>'); chain length
+    cycles k % 14, so lengths 10-13 exceed the Go cap (error after
+    max_redirects requests → at most 9 redirects followed) and must
+    yield status 0 + the Go client's exact error string. Oracle =
+    closed-form CASE on k."""
+    from webcrawler_go_spark.schemas import FETCH_RESULT
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    url = F.concat(
+        F.lit("https://rc.test/r/"),
+        (F.col("k") % 14).cast("string"),
+        F.lit("/"),
+        F.col("k").cast("string"),
+    )
+    fr = c.select(
+        url.alias("url_norm"),
+        F.xxhash64(url).alias("url_hash"),
+        F.lit("rc.test").alias("host"),
+        F.col("k").cast("long").alias("seq"),
+        F.lit(0).alias("round"),
+        F.lit(0).alias("attempts"),
+    )
+
+    def kernel(batches):
+        import re as _re
+
+        from webcrawler_go_spark.operators.fetch import _http_kernel
+
+        class _Resp:
+            def __init__(self, status, headers, body=""):
+                self.status_code = status
+                self.headers = headers
+                self.text = body
+                self.content = body.encode()
+
+        def transport(session, method, u, headers):
+            m = _re.match(r"https://rc\.test/r/(\d+)/(\d+)", u)
+            i, k = int(m.group(1)), int(m.group(2))
+            if i == 0:
+                n_hops = k % 14
+                return _Resp(
+                    200,
+                    {"Content-Type": "text/plain"},
+                    f"arrived k={k} hops={n_hops}",
+                )
+            return _Resp(
+                301, {"Location": f"https://rc.test/r/{i - 1}/{k}"}
+            )
+
+        gen = _http_kernel(
+            method="GET", timeout_s=5, max_redirects=10,
+            referer_url=None, transport=transport,
+        )
+        yield from gen(batches)
+
+    fetched = fr.mapInPandas(kernel, FETCH_RESULT)
+    return fetched.select(
+        F.col("seq").alias("k"),
+        "status",
+        "error_class",
+        F.try_element_at("spans", F.lit(1))["text"].alias("final_text"),
+    )
+
+
+def q_resume_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 resumability as a driver row (pdfcapture.go:199-223 skip-if-
+    exists, but transactional): run 2 of 3 rounds, drop the engine, and
+    let a FRESH engine instance resume from the committed snapshots for
+    round 3. The per-host result must equal the UNINTERRUPTED reference
+    — the oracle is the same sequential golden crawl as
+    crawl_multiround, so any resume-state defect (lost frontier rows,
+    double-fetch, wrong round counter) hash-fails."""
+    import tempfile
+
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=3, default_host_budget=8)
+    state = tempfile.mkdtemp(prefix="q-resume-")
+    eng = CrawlEngine(spark, cfg, state, world=world)
+    eng.seed(
+        spark.createDataFrame(
+            gen_seeds(world, 3), "url string, priority double, seq int"
+        )
+    )
+    for r in range(2):
+        eng.run_round(r)
+    # "crash": a NEW engine over the same state dir picks up at round 2
+    eng2 = CrawlEngine(spark, cfg, state, world=world)
+    eng2.resume(max_rounds=3)
+    return (
+        eng2.fetch_log()
+        .groupBy("host")
+        .agg(F.count("*").alias("fetched"), F.sum("bytes").alias("bytes"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis /
 # events / multimodal) — first-class at 100 TB
@@ -2242,6 +2345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_multiround": q_crawl_multiround,  # sequential-reference golden oracle NEW r3
         # (3) new this round
         "pdf_filters_extract": q_pdf_filters_extract,
+        "redirect_chain": q_redirect_chain,
+        "resume_crawl": q_resume_crawl,
         "dedup_semantic_closure": q_dedup_semantic_closure,
         "pdf_cid_extract": q_pdf_cid_extract,
         "media_decode_png": q_media_decode_png,
@@ -2629,6 +2734,18 @@ def oracle_sql() -> dict[str, str]:
         "url_hash31": _url_hash31_oracle_sql(),
         "head_probe": _head_probe_oracle_sql(),
         "crawl_multiround": _crawl_multiround_oracle_sql(),
+        # resume-from-snapshot must equal the UNINTERRUPTED golden crawl
+        "resume_crawl": _crawl_multiround_oracle_sql(),
+        "redirect_chain": """
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(CASE WHEN c_custkey % 14 >= 10 THEN 0 ELSE 200 END AS INT) AS status,
+                   (CASE WHEN c_custkey % 14 >= 10
+                         THEN 'stopped after 10 redirects' END) AS error_class,
+                   (CASE WHEN c_custkey % 14 >= 10 THEN NULL
+                         ELSE 'arrived k=' || CAST(c_custkey AS VARCHAR)
+                              || ' hops=' || CAST(c_custkey % 14 AS VARCHAR)
+                    END) AS final_text
+            FROM customer""",
         "robots_parse": """
             WITH ks AS (SELECT c_custkey AS k FROM customer)
             SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host,

@@ -117,6 +117,46 @@ def test_http_backend_bot_protection_blocks():
     assert "Referer" not in seen2[1][1]
 
 
+def test_http_backend_redirect_chain_followed_and_capped():
+    """L2 (crawler.go:189-199): the kernel's OWN redirect walk — 3xx +
+    Location hops are followed with the first request's headers, and Go's
+    CheckRedirect cap semantics apply: error once max_redirects requests
+    were made (at most max_redirects−1 redirects followed)."""
+    def redirect_world(n):
+        pages = {}
+        for i in range(1, n + 1):
+            pages[f"https://h.test/r/{i}"] = FakeResp(301, "", "")
+            pages[f"https://h.test/r/{i}"].headers = {
+                "Location": f"https://h.test/r/{i - 1}" if i > 1 else "https://h.test/final"
+            }
+        pages["https://h.test/final"] = FakeResp(200, "text/plain", "made it")
+        return pages
+
+    # 9 redirects (10 requests): allowed
+    out, seen = run_kernel(
+        [("https://h.test/r/9", 1, "h.test", 1, 0, 0)], redirect_world(9)
+    )
+    row = out.iloc[0]
+    assert row["status"] == 200 and row["error_class"] is None
+    assert [s["text"] for s in row["spans"]] == ["made it"]
+    assert len(seen) == 10  # 1 initial + 9 redirect hops
+    # headers identical on every hop (via[0].Header copy)
+    assert all(h == seen[0][1] for _, h in seen)
+    # relative Location resolves against the current URL
+    pages = redirect_world(1)
+    pages["https://h.test/r/1"].headers = {"Location": "/final"}
+    out2, _ = run_kernel([("https://h.test/r/1", 1, "h.test", 1, 0, 0)], pages)
+    assert out2.iloc[0]["status"] == 200
+    # 10 redirects needed: stopped with the Go client's error string
+    out3, seen3 = run_kernel(
+        [("https://h.test/r/10", 1, "h.test", 1, 0, 0)], redirect_world(10)
+    )
+    row3 = out3.iloc[0]
+    assert row3["status"] == 0
+    assert "stopped after 10 redirects" in row3["error_class"]
+    assert len(seen3) == 10  # the 11th request is never made
+
+
 def test_http_backend_error_taxonomy_row():
     out, _ = run_kernel([("https://gone.test/", 1, "gone.test", 1, 0, 0)], {})
     row = out.iloc[0]

@@ -365,10 +365,40 @@ def _http_kernel(
         session.max_redirects = max_redirects
         had_success = False
 
-        def do_request(m, url, headers):
+        def do_one(m, url, headers):
             if transport is not None:
                 return transport(session, m, url, headers)
-            return session.request(m, url, timeout=timeout_s, headers=headers)
+            # allow_redirects=False: redirects are OUR loop below (L2),
+            # not the library's — the cap must behave identically under
+            # injected test transports and real sessions
+            return session.request(
+                m, url, timeout=timeout_s, headers=headers, allow_redirects=False
+            )
+
+        def do_request(m, url, headers):
+            """Manual redirect walk — crawler.go:189-199 CheckRedirect
+            parity: Go errors once len(via) >= max_redirects requests
+            were already made (so at most max_redirects-1 redirects are
+            followed), re-sending the FIRST request's headers on every
+            hop (the via[0].Header copy). The error string is the Go
+            client's, so the taxonomy matches."""
+            via = 0
+            cur = url
+            while True:
+                resp = do_one(m, cur, headers)
+                loc = (
+                    resp.headers.get("Location")
+                    if 300 <= resp.status_code < 400
+                    else None
+                )
+                if loc is None:
+                    return resp
+                if via + 1 >= max_redirects:
+                    raise requests.TooManyRedirects(
+                        f"stopped after {max_redirects} redirects"
+                    )
+                cur = urljoin(cur, loc)
+                via += 1
 
         for b in batches:
             out = []
