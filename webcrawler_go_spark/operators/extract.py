@@ -33,9 +33,12 @@ def documents_from_fetch(fetched: DataFrame) -> DataFrame:
 
 def outlinks_with_provenance(fetched: DataFrame) -> DataFrame:
     """X1: one row per outlink in document order, with the discovering
-    page's (url, seq, round) carried — J4 provenance."""
+    page's (url, host, seq, round) carried — J4 provenance. The parent
+    host rides along as a COLUMN (it is already canonical on every fetch
+    row) so same-host filtering never re-parses the parent URL."""
     return fetched.select(
         F.col("url").alias("found_on"),
+        F.col("host").alias("parent_host"),
         F.col("seq").alias("parent_seq"),
         F.col("round").alias("parent_round"),
         F.posexplode("outlinks").alias("link_pos", "href"),
@@ -52,18 +55,46 @@ def next_frontier_candidates(
 ) -> DataFrame:
     """Links → next-round frontier rows (J2 input).
 
-    Filters in reference order: crawlable href (F3/F11) → canonicalize
-    (C1) → same-host (F1, crawler.go:984-987) → extension skip (F4,
-    sitemap mode only) → path prefix (F2). Dedup (J1) happens later so
-    this stays shuffle-free until the seen anti-join.
+    Filters in reference order: crawlable href (F3/F11) → pre-
+    canonicalization collapse → canonicalize (C1) → same-host (F1,
+    crawler.go:984-987) → extension skip (F4, sitemap mode only) → path
+    prefix (F2). Exact cross-form dedup (J1) happens later at the seen
+    anti-join.
+
+    The COLLAPSE groups on the RAW (href, parent_host) pair keeping the
+    minimum crawl-order key: a page is typically linked from ~30 parents
+    per round, and partial (map-side) aggregation shrinks the exploded
+    link stream by that factor BEFORE the shuffle — and, more
+    importantly at 100 TB, before the regex-heavy canonicalization runs
+    (1 canonicalize per distinct raw link instead of per link
+    occurrence). min over the packed key struct is associative, so the
+    later first_discovery over url_norm still resolves to the same
+    global winner when distinct raw forms canonicalize together.
 
     same_host semantics: keep links whose host equals the *discovering
     page's* host (the reference compares against the crawl base host; in
     multi-seed crawls each seed is its own base, which per-parent
     comparison reproduces since frontiers never cross hosts under F1).
+    The parent host is the carried fetch-row column — already canonical,
+    no re-parse of found_on.
     """
     links = outlinks_with_provenance(fetched).filter(
         is_crawlable_href(F.col("href"))
+    )
+    links = (
+        links.groupBy("href", "parent_host")
+        .agg(
+            F.min(
+                F.struct("parent_round", "parent_seq", "link_pos")
+            ).alias("_k")
+        )
+        .select(
+            "href",
+            "parent_host",
+            F.col("_k.parent_round").alias("parent_round"),
+            F.col("_k.parent_seq").alias("parent_seq"),
+            F.col("_k.link_pos").alias("link_pos"),
+        )
     )
     parts = canonicalize_cols(F.col("href"), ignore_query=ignore_query)
     links = links.select(
@@ -76,8 +107,7 @@ def next_frontier_candidates(
         if seed_host is not None:
             links = links.filter(F.col("host") == F.lit(seed_host.lower()))
         else:
-            parent = canonicalize_cols(F.col("found_on"))
-            links = links.filter(F.col("host") == parent["host"])
+            links = links.filter(F.col("host") == F.col("parent_host"))
     if skip_extensions:
         links = links.filter(~has_skipped_extension(F.col("path")))
     if path_filter:

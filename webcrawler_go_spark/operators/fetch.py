@@ -250,15 +250,24 @@ def fetch_frontier(
         sc = scheduled.sparkSession.sparkContext
         par = sc.defaultParallelism or 1
         if par > 1:
-            # 3× cores: the kernel stage is the round's dominant CPU, and
-            # at exactly 1 task/core any host-hash imbalance becomes a
-            # straggler tail with idle cores — 3× gives the scheduler
-            # room to rebalance while host co-location is preserved.
+            # 3× cores when the kernel has real per-URL CPU (http
+            # backend, calibrated parse cost): the kernel stage is the
+            # round's dominant CPU and at exactly 1 task/core any
+            # host-hash imbalance becomes a straggler tail with idle
+            # cores. For the ZERO-parse synthetic kernel the per-task
+            # fixed cost (Arrow IPC roundtrip, scheduling) dominates the
+            # work itself, so extra tasks are pure overhead — 1× there
+            # (measured ~2 s faster over a 6-round 153k-URL loop).
             # ``size_hint`` (free, from the frontier manifest) caps the
             # width for SMALL rounds: 96 near-empty tasks per stage —
             # and per downstream job over the checkpoint — is pure
             # scheduling overhead when the round has a few hundred URLs.
-            width = par * 3
+            cpu_heavy = backend != "synthetic" or world.parse_cost > 0
+            default_mult = "3" if cpu_heavy else "1"
+            mult = int(
+                _os.environ.get("SPARK_GRAFT_FETCH_WIDTH_MULT", default_mult)
+            )
+            width = par * mult
             if size_hint is not None:
                 width = max(1, min(width, size_hint // 500 + 1))
             scheduled = scheduled.repartition(width, F.col("host"))

@@ -324,7 +324,8 @@ class CrawlEngine:
         # materialize the dedup with the whole cluster BEFORE the commit
         # fan-out: inside the thread pool it contends with three parquet
         # writes for every core (measured 3× slower there)
-        next_frontier = next_frontier.localCheckpoint(eager=True)
+        if os.environ.get("SPARK_GRAFT_FRONTIER_CKPT", "1") != "0":
+            next_frontier = next_frontier.localCheckpoint(eager=True)
         _mark("frontier-dedup")
 
         # all four commits read only the checkpointed fetch output (plus
