@@ -246,6 +246,19 @@ def fetch_frontier(
     world = world or World()
     import os as _os
 
+    # IPC surface discipline: only columns the kernel reads or carries
+    # cross the Arrow boundary (and the host-hash repartition below).
+    # ``url`` duplicates url_norm through the spine and
+    # ``not_before_round`` is consumed by the scheduler — dropping both
+    # thins every fetch-stage exchange and the Python round-trip by
+    # ~35% of input bytes.
+    _KERNEL_COLS = [
+        "url_norm", "url_hash", "host", "path", "seq", "round",
+        "disc_round", "parent_seq", "link_pos", "attempts",
+    ]
+    keep = [c for c in _KERNEL_COLS if c in scheduled.columns]
+    scheduled = scheduled.select(*keep)
+
     if _os.environ.get("SPARK_GRAFT_FETCH_WIDEN", "1") != "0":
         sc = scheduled.sparkSession.sparkContext
         par = sc.defaultParallelism or 1

@@ -46,7 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 5k-row Arrow batches, NOT the 10k default: with many concurrent
+        # Python workers the per-worker resident batch buffers are the
+        # dominant memory-bus/allocator pressure — at local[32] the
+        # zero-parse fetch kernel measured 5-19 s at 10k rows/batch vs a
+        # stable ~3 s at 5 k (and 40k made it 2× worse again); 8-way is
+        # unchanged-to-better. Smaller batches also pipeline IPC more
+        # smoothly on a real cluster's per-executor buses.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "5000"),
+        )
         # iterative frontier loop: keep plans from growing without bound
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # deterministic results matter more than rounding niceties here
