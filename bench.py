@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_semantic_closure",   # iterative min-label closure (driver loop)
     "text_repetition",          # array-ops curation signals
     "media_decode_png",         # real stdlib PNG decode kernel
+    # round-4 additions
+    "lang_id",                  # single-pass tokenize+intersect (was 28 rlike scans)
+    "embedding_ivf_topk",       # fully-codegen IVF (no interpreted HOFs)
+    "pdf_filters_extract",      # LZW/RLE/AHx/A85 stream-filter round-trip
 ]
 
 
