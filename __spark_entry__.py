@@ -1615,6 +1615,29 @@ WHERE (((doc_id % 999999937) * 2654435761) % 999999937) % 1000000
 """
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document plays the held-out
+    eval set; corpus docs sharing any word 4-gram with it are flagged.
+    Broadcast semi-join on the benchmark's distinct grams — the standard
+    pre-training hygiene pass at 100 TB (eval suites are small)."""
+    from webcrawler_go_spark.operators.textanalysis import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(corpus, bench, n=4)
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: per doc, distinct word 3-grams
+    occurring in > 5 documents corpus-wide (templated/boilerplate
+    content the within-doc repetition signals cannot see)."""
+    from webcrawler_go_spark.operators.textanalysis import boilerplate_ngram_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_ngram_stats(d, n=3, df_threshold=5)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import quality_features
 
@@ -2328,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_filters_extract": q_pdf_filters_extract,
         "redirect_chain": q_redirect_chain,
         "resume_crawl": q_resume_crawl,
+        "ngram_contamination": q_ngram_contamination,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         # (2) output changed: media_metadata grew decode_error; lang_id /
         # text_quality values moved with the 8-language 16-word profiles
         "media_metadata": q_media_metadata,
@@ -2384,11 +2409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_synthesis": q_pagination_synthesis,
         "archive_url_generation": q_archive_url_generation,
         "sitemap_output": q_sitemap_output,
+        # ---- position 50 boundary: everything below holds a green
+        # ---- r3 row on code unchanged since (or an r2 row on the
+        # ---- unchanged urls.py/classify.py trivials at the tail)
         "truncate_ellipsis": q_truncate_ellipsis,
         "filename_sanitize": q_filename_sanitize,
-        # ---- position 50 boundary: everything below holds a green
-        # ---- r3 row on code unchanged since (or r2 for the six
-        # ---- single-predicate classify.py trivials at the tail)
         "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
         "events_window_agg": q_events_window_agg,
@@ -2848,6 +2873,81 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )""",
         "lang_id": _lang_id_oracle_sql(),
+        "ngram_contamination": """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+ctok AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos1, l[t.i] AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM corpus),
+       unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[t.i] <> ''
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 || ' ' || t3 AS g
+  FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos1) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos1) AS t2,
+           lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos1) AS t3
+    FROM ctok
+  )
+  WHERE t3 IS NOT NULL
+),
+btok AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos1, l[t.i] AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM bench),
+       unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[t.i] <> ''
+),
+bgrams AS (
+  SELECT DISTINCT token || ' ' || t1 || ' ' || t2 || ' ' || t3 AS g
+  FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos1) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos1) AS t2,
+           lead(token, 3) OVER (PARTITION BY doc_id ORDER BY pos1) AS t3
+    FROM btok
+  )
+  WHERE t3 IS NOT NULL
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n FROM cgrams c JOIN bgrams b USING (g)
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM corpus) c LEFT JOIN hits h USING (doc_id)
+""",
+        "boilerplate_ngrams": """
+WITH docs AS (SELECT doc_id, text FROM documents),
+tok AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos1, l[t.i] AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM docs),
+       unnest(generate_series(1, len(l))) AS t(i)
+  WHERE l[t.i] <> ''
+),
+grams AS (
+  SELECT DISTINCT doc_id, token || ' ' || t1 || ' ' || t2 AS g
+  FROM (
+    SELECT doc_id, token,
+           lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos1) AS t1,
+           lead(token, 2) OVER (PARTITION BY doc_id ORDER BY pos1) AS t2
+    FROM tok
+  )
+  WHERE t2 IS NOT NULL
+),
+df AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY g),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams,
+         SUM(CASE WHEN dfc > 5 THEN 1 ELSE 0 END) AS nb
+  FROM grams JOIN df USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(p.nb, 0) AS BIGINT) AS n_boilerplate_ngrams
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+""",
         "pii_scrub": _pii_scrub_oracle_sql(),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
         "text_repetition": """

@@ -180,3 +180,43 @@ def test_pii_scrub_edges(spark):
     got = {r.i: r.s for r in df.select("i", pii_scrub(F.col("t")).alias("s")).collect()}
     for i, _t, want in rows:
         assert got[i] == want, (i, got[i])
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    """A corpus doc sharing a 4-gram with the benchmark is flagged with
+    the DISTINCT-gram hit count; clean docs report 0."""
+    from webcrawler_go_spark.operators.textanalysis import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here entirely novel content"),
+            (3, "prefix the quick brown fox jumps suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx the quick brown fox jumps yy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=4).collect()}
+    # doc 1 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert (got[1].n_contaminated_ngrams, got[1].is_contaminated) == (2, True)
+    assert (got[2].n_contaminated_ngrams, got[2].is_contaminated) == (0, False)
+    assert (got[3].n_contaminated_ngrams, got[3].is_contaminated) == (2, True)
+
+
+def test_boilerplate_ngram_stats_counts_high_df_grams(spark):
+    """Grams in > df_threshold docs count as boilerplate; within-doc
+    repeats do not inflate df (distinct per doc)."""
+    from webcrawler_go_spark.operators.textanalysis import boilerplate_ngram_stats
+
+    shared = "copyright footer text"
+    rows = [(i, f"unique{i} words{i} body{i} " + shared) for i in range(6)]
+    rows.append((6, "totally fresh content nothing shared at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in boilerplate_ngram_stats(docs, n=3, df_threshold=5).collect()}
+    # 'copyright footer text' appears in 6 docs > 5 -> boilerplate for each
+    for i in range(6):
+        assert got[i].n_boilerplate_ngrams == 1, i
+        assert got[i].n_ngrams == 4  # 6 tokens -> 4 trigrams
+    assert got[6].n_boilerplate_ngrams == 0

@@ -245,6 +245,90 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- cross-document curation signals (round 4) ------------------------------
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check — the standard pre-training hygiene
+    pass: flag corpus documents sharing at least one word ``n``-gram
+    with a held-out benchmark/eval set (so training data can be
+    decontaminated before the model memorizes test answers).
+
+    Returns (doc_id, n_contaminated_ngrams, is_contaminated) for every
+    corpus doc. Distinct-gram semantics on both sides: the count is how
+    many DISTINCT n-grams of the doc appear anywhere in the benchmark.
+
+    100 TB shape: gram extraction is a per-doc window (narrow); the
+    benchmark's distinct gram set is small by construction (eval suites
+    are MBs, not TBs) → broadcast semi-join, no corpus shuffle. A
+    TB-sized benchmark would flip this to a shuffle join on the gram —
+    same plan family as the Jaccard shingle join."""
+    from webcrawler_go_spark.operators.textdedup import shingles
+
+    corpus_grams = shingles(docs, n, text_col)
+    bench_grams = shingles(benchmark, n, text_col).select("shingle").distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated_ngrams"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+def boilerplate_ngram_stats(
+    docs: DataFrame,
+    n: int = 3,
+    df_threshold: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate signal (the Gopher/MassiveText
+    "duplicated content across documents" family): for each doc, how
+    many of its distinct word ``n``-grams occur in more than
+    ``df_threshold`` documents corpus-wide. High fractions mark
+    templated/boilerplate pages (nav bars, footers, scraped mirrors)
+    that repetition_features (within-doc) cannot see.
+
+    Returns (doc_id, n_ngrams, n_boilerplate_ngrams); the fraction is
+    left to the consumer (exact integers keep the oracle
+    engine-neutral).
+
+    100 TB shape: one shuffle on the gram to compute document frequency
+    (map-side partial counts collapse the per-doc duplicates first),
+    one shuffle joining df back to the per-doc gram set — the same
+    two-exchange pattern as the shingle-Jaccard join, no all-pairs
+    anywhere."""
+    from webcrawler_go_spark.operators.textdedup import shingles
+
+    grams = shingles(docs, n, text_col)  # (doc_id, shingle) DISTINCT per doc
+    df = grams.groupBy("shingle").agg(F.count("*").alias("_df"))
+    per_doc = (
+        grams.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("_df") > df_threshold, 1).otherwise(0)).alias(
+                "n_boilerplate_ngrams"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("n_boilerplate_ngrams", F.lit(0)).cast("long").alias(
+            "n_boilerplate_ngrams"
+        ),
+    )
+
+
 # PII scrub patterns — constructs chosen to behave identically in Java
 # regex (Spark) and RE2 (DuckDB oracle): char classes, bounded
 # quantifiers, \b word boundaries; no lookaround, no backrefs.
