@@ -125,3 +125,42 @@ def test_synth_flat_arrow_matches_numpy():
     assert (a["ol_offsets"] == b["ol_offsets"]).all()
     assert (a["status"] == b["status"]).all()
     assert (a["blocked"] == b["blocked"]).all()
+
+
+@given(data=st.binary(max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_pdf_stream_codecs_roundtrip_arbitrary_bytes(data):
+    """Property: every supported PDF stream codec round-trips arbitrary
+    byte strings (LZW exercises width growth on incompressible input)."""
+    from webcrawler_go_spark.operators.doc_extract import (
+        _ascii85_decode,
+        _ascii85_encode,
+        _ascii_hex_decode,
+        _ascii_hex_encode,
+        _lzw_decode,
+        _lzw_encode,
+        _rle_decode,
+        _rle_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+    assert _rle_decode(_rle_encode(data)) == data
+    assert _ascii_hex_decode(_ascii_hex_encode(data)) == data
+    assert _ascii85_decode(_ascii85_encode(data)) == data
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    """Property: encode→decode is identity for arbitrary RGB images and
+    per-row filter choices (covers all writer-supported filter types)."""
+    from webcrawler_go_spark.functions.media_codecs import decode_png, encode_png
+
+    px = bytes((seed * 31 + j * 7 + (j >> 3)) % 256 for j in range(w * h * 3))
+    filters = [(seed + y) % 3 for y in range(h)]
+    got = decode_png(encode_png(w, h, px, channels=3, row_filters=filters))
+    assert got == (w, h, 3, px)
