@@ -1638,6 +1638,42 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ngram_stats(d, n=3, df_threshold=5)
 
 
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming as a DRIVER row (SURVEY §2.10): the events
+    table replayed through a real file-source stream — readStream →
+    watermark → windowed agg → memory sink, availableNow trigger — must
+    produce EXACTLY the batch answer (the oracle is the same SQL as
+    events_window_agg). This is the continuous-crawl stats ticker
+    (crawler.go:338-373) in its streaming form; at scale the file
+    source becomes Kafka/queue and the memory sink a table, with the
+    identical plan in between."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from webcrawler_go_spark.streaming.frontier_stream import stream_window_counts
+
+    events = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="q-stream-")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    name = "win_" + uuid.uuid4().hex[:10]
+    q = (
+        stream_window_counts(spark.readStream.schema(events.schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import quality_features
 
@@ -2353,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_crawl": q_resume_crawl,
         "ngram_contamination": q_ngram_contamination,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "streaming_window_agg": q_streaming_window_agg,
         # (2) output changed: media_metadata grew decode_error; lang_id /
         # text_quality values moved with the 8-language 16-word profiles
         "media_metadata": q_media_metadata,
@@ -2408,10 +2445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "pagination_synthesis": q_pagination_synthesis,
         "archive_url_generation": q_archive_url_generation,
-        "sitemap_output": q_sitemap_output,
         # ---- position 50 boundary: everything below holds a green
         # ---- r3 row on code unchanged since (or an r2 row on the
         # ---- unchanged urls.py/classify.py trivials at the tail)
+        "sitemap_output": q_sitemap_output,
         "truncate_ellipsis": q_truncate_ellipsis,
         "filename_sanitize": q_filename_sanitize,
         "events_sessionize": q_events_sessionize,
@@ -3044,6 +3081,15 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
                         % 1000000007 AS BIGINT) AS fingerprint
             FROM tokens t JOIN vocab v USING (token)
             GROUP BY t.doc_id""",
+        # the STREAM must equal the batch answer — identical oracle SQL
+        "streaming_window_agg": """
+            SELECT make_timestamp(win_id * 3600 * 1000000) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS value_sum
+            FROM (
+              SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
+            ) GROUP BY 1, 2""",
         "events_window_agg": """
             SELECT make_timestamp(win_id * 3600 * 1000000) AS win_start,
                    event_type,
