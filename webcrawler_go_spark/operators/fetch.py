@@ -143,85 +143,6 @@ def _synth_arrow(batch: "pa.RecordBatch", world: World) -> "pa.RecordBatch":
     )
 
 
-def _synth_rows(batch: pd.DataFrame, world: World) -> pd.DataFrame:
-    urls = batch["url_norm"].tolist()
-    rows = {
-        "url": urls,
-        # engine-internal hash is xxhash64(url_norm), computed JVM-side by
-        # the frontier builder and passed through here untouched
-        "url_hash": batch["url_hash"].tolist(),
-        "host": batch["host"].tolist(),
-        "seq": batch["seq"].tolist(),
-        "round": batch["round"].tolist(),
-    }
-    status, ctype, nbytes, err, lastmod, blocked, spans, outlinks = (
-        [], [], [], [], [], [], [], []
-    )
-    for u in urls:
-        e = worldgen.error_class_of(world, u)
-        if e is not None:
-            status.append(0)
-            ctype.append("")
-            nbytes.append(0)
-            err.append(e)
-            lastmod.append(None)
-            blocked.append(False)
-            spans.append([])
-            outlinks.append([])
-            continue
-        s = worldgen.status_of(world, u)
-        ct = worldgen.content_type_of(world, u)
-        sp = worldgen.spans_of(world, u) if s == 200 else []
-        body_blocked = any(
-            worldgen.BOT_PHRASE in t for k, t, _m, _o in sp if k == "text"
-        )
-        is_blocked = s in BLOCKED_STATUSES or body_blocked
-        d = worldgen.lastmod_days_of(world, u)
-        status.append(s)
-        ctype.append(ct)
-        nbytes.append(worldgen.bytes_of(world, u))
-        err.append(None)
-        lastmod.append(None if d is None else (_EPOCH + pd.Timedelta(days=d)).date())
-        blocked.append(is_blocked)
-        if is_blocked:
-            # blocked pages contribute no content (crawler.go:698-701)
-            spans.append([])
-            outlinks.append([])
-        else:
-            spans.append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in sp
-                ]
-            )
-            outlinks.append([m for k, _t, m, _o in sp if k == "link"])
-    rows.update(
-        status=status,
-        content_type=ctype,
-        bytes=nbytes,
-        error_class=err,
-        blocked=blocked,
-        lastmod=lastmod,
-        spans=spans,
-        outlinks=outlinks,
-        # frontier metadata carried through (saves a post-fetch join)
-        path=batch["path"].tolist() if "path" in batch else [""] * len(urls),
-        disc_round=batch["disc_round"].tolist()
-        if "disc_round" in batch
-        else batch["round"].tolist(),
-        parent_seq=batch["parent_seq"].tolist()
-        if "parent_seq" in batch
-        else [0] * len(urls),
-        link_pos=batch["link_pos"].tolist()
-        if "link_pos" in batch
-        else [0] * len(urls),
-        attempts=batch["attempts"].tolist()
-        if "attempts" in batch
-        else [0] * len(urls),
-    )
-    return pd.DataFrame(rows)
-
-
 def fetch_frontier(
     scheduled: DataFrame,
     world: World | None = None,
