@@ -321,23 +321,23 @@ class CrawlEngine:
         ).unionByName(requeue.select(*candidates.columns)).unionByName(
             overflow.select(*candidates.columns)
         )
-        # materialize the dedup with the whole cluster BEFORE the commit
-        # fan-out: inside the thread pool it contends with three parquet
-        # writes for every core (measured 3× slower there)
-        if os.environ.get("SPARK_GRAFT_FRONTIER_CKPT", "1") != "0":
-            next_frontier = next_frontier.localCheckpoint(eager=True)
-        _mark("frontier-dedup")
 
         # all four commits read only the checkpointed fetch output (plus
         # tiny carried frames) and are mutually independent → run them as
-        # concurrent Spark jobs from separate threads, halving the
-        # per-round fixed latency that dominates at small round sizes.
-        # Outputs coalesce to ≤ the core count before writing: the fetch
-        # checkpoint is 3×-cores wide (kernel balancing), and carrying
-        # that width into FOUR parquet writes per round would pile up
-        # 100s of small files per table — growing every later read's
-        # file listing and the manifest — for zero write parallelism
-        # gain (the upstream compute is already done at the checkpoint).
+        # concurrent Spark jobs from separate threads. The three CHEAP
+        # commits (seen/docs/log: column-sliced views of the checkpoint)
+        # launch FIRST and overlap the frontier-dedup materialization on
+        # the main thread — the dedup is the round's second-biggest
+        # compute and previously serialized in front of them. The
+        # frontier commit itself still waits for the materialized dedup
+        # (committing the raw plan inside the pool measured 3× slower:
+        # it contends with three parquet writes for every core).
+        # Outputs coalesce to ≤ the core count before writing: carrying
+        # the kernel stage's width into FOUR parquet writes per round
+        # would pile up 100s of small files per table — growing every
+        # later read's file listing and the manifest — for zero write
+        # parallelism gain (the upstream compute is already done at the
+        # checkpoint).
         from concurrent.futures import ThreadPoolExecutor
 
         # width scales with the round (manifest row count = free): tiny
@@ -363,11 +363,18 @@ class CrawlEngine:
                     fetched.select(*[f.name for f in FETCH_LOG.fields]).coalesce(n_out),
                     lineage={"round": r},
                 ),
+            ]
+            # main thread: materialize the frontier dedup concurrently
+            # with the three writes
+            if os.environ.get("SPARK_GRAFT_FRONTIER_CKPT", "1") != "0":
+                next_frontier = next_frontier.localCheckpoint(eager=True)
+            _mark("frontier-dedup")
+            futures.append(
                 pool.submit(
                     self.frontier_t.commit, next_frontier.coalesce(n_out),
                     mode="replace", lineage={"round": r + 1},
-                ),
-            ]
+                )
+            )
             commit_manifests = [f_.result() for f_ in futures]
         # the fetch-log commit's own manifest — NOT re-read from the head
         # later: maintenance may REPLACE the head with a compact snapshot
