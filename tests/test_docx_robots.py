@@ -331,3 +331,35 @@ def test_pdf_cid_surrogate_pair_bfrange_extracts_empty_not_crash():
     patched2 = blob[:start] + bad2 + blob[end:]
     for t in pdf_text_blocks(patched2):
         t.encode("utf-8")  # must be valid UTF-8 (no lone surrogates)
+
+
+def test_pdf_decodeparms_early_change_and_predictor():
+    """/EarlyChange 0 LZW streams decode correctly; /Predictor > 1
+    streams (unreversed row prediction would yield WRONG bytes) are
+    skipped outright — empty, never wrong."""
+    import re as _re
+
+    from webcrawler_go_spark.operators.doc_extract import (
+        _lzw_encode,
+        make_pdf,
+        pdf_text_blocks,
+    )
+
+    blob = make_pdf(["early change zero page"], filters=["LZWDecode"])
+    m = _re.search(
+        rb"<< /Length (\d+) /Filter /LZWDecode >>\nstream\r?\n(.*?)\nendstream",
+        blob, _re.S,
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (early change zero page) Tj ET"
+    enc0 = _lzw_encode(content, early=0)
+    blob0 = blob.replace(
+        m.group(0),
+        b"<< /Length %d /Filter /LZWDecode /DecodeParms "
+        b"<< /EarlyChange 0 >> >>\nstream\n%s\nendstream" % (len(enc0), enc0),
+    )
+    assert pdf_text_blocks(blob0) == ["early change zero page"]
+    blobp = blob.replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
+    )
+    assert pdf_text_blocks(blobp) == []

@@ -368,19 +368,39 @@ def _stream_filters(stream_dict: bytes) -> list[str] | None:
     return [n.decode("latin-1") for n in re.findall(rb"/(\w+)", m.group(1))]
 
 
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
 def _decode_stream(stream_dict: bytes, data: bytes) -> bytes | None:
     """Apply the stream's full filter chain in order. Returns None for
     unsupported filters or corrupt data — callers extract NOTHING from
-    such streams, never wrong text (parser/pdf.go error contract)."""
+    such streams, never wrong text (parser/pdf.go error contract).
+
+    DecodeParms handling: ``/Predictor > 1`` (PNG/TIFF row predictors on
+    Flate/LZW output) is NOT reversed here — decoding without reversing
+    it would yield WRONG bytes, so such streams are skipped outright
+    (the one DecodeParms case where ignoring the parm breaks the
+    empty-not-wrong contract). ``/EarlyChange 0`` on LZW is honored."""
     filters = _stream_filters(stream_dict)
     if filters is None:
         return None
+    pm = _PREDICTOR_RE.search(stream_dict)
+    if pm and int(pm.group(1)) > 1:
+        return None  # predictor-coded: skip rather than emit garbage
+    early = 1
+    em = _EARLY_CHANGE_RE.search(stream_dict)
+    if em:
+        early = int(em.group(1))
     for name in filters:
         codec = _STREAM_CODECS.get(name)
         if codec is None:
             return None  # DCTDecode / JBIG2 / CCITT etc.: skip stream
         try:
-            data = codec[0](data)
+            if name == "LZWDecode":
+                data = _lzw_decode(data, early=early)
+            else:
+                data = codec[0](data)
         except Exception:  # noqa: BLE001 — corrupt stream: extract nothing
             return None
     return data
