@@ -1670,7 +1670,15 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination(timeout) returns False on TIMEOUT without
+    # raising — a silent partial memory-sink table would surface as a
+    # confusing hash mismatch downstream, so fail loudly instead
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming_window_agg: availableNow query did not terminate "
+            "within 180s"
+        )
     return spark.table(name)
 
 
@@ -1881,25 +1889,34 @@ def q_pdf_cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, "doc_id long, extracted string")
 
 
+# (filter chain, /Predictor DecodeParm, display name). The two
+# predictor entries cover PNG row filters (12, with the fixture's
+# per-row 0-4 cycle incl. Paeth) and TIFF horizontal differencing (2)
+# — round-5 directive #3; pdfcpu parity parser/pdf.go:11-53.
 _PDF_FILTER_CYCLE = [
-    ["FlateDecode"],
-    ["RunLengthDecode"],
-    ["ASCIIHexDecode"],
-    ["ASCII85Decode"],
-    ["LZWDecode"],
-    ["ASCII85Decode", "FlateDecode"],  # chained filters, decoded in order
+    (["FlateDecode"], None, "FlateDecode"),
+    (["RunLengthDecode"], None, "RunLengthDecode"),
+    (["ASCIIHexDecode"], None, "ASCIIHexDecode"),
+    (["ASCII85Decode"], None, "ASCII85Decode"),
+    (["LZWDecode"], None, "LZWDecode"),
+    # chained filters, decoded in order
+    (["ASCII85Decode", "FlateDecode"], None, "ASCII85Decode+FlateDecode"),
+    (["FlateDecode"], 12, "FlateDecode+Pred12"),
+    (["LZWDecode"], 2, "LZWDecode+Pred2"),
 ]
 
 
 def q_pdf_filters_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 breadth (round-4 directive #6; parser/pdf.go:11-53 — pdfcpu
-    handles LZW/RunLength/ASCIIHex/ASCII85 streams and encrypted
-    documents): per row, build a PDF whose content stream is encoded
-    with a filter chain cycled by doc_id (incl. a two-filter chain) —
-    or an /Encrypt-marked document every 7th row — and extract through
-    the stdlib decoders. The oracle states the contract: the original
-    text back for every supported chain, EMPTY (never wrong) for
-    encrypted."""
+    """X4 breadth (round-4 directive #6 + round-5 directive #3;
+    parser/pdf.go:11-53 — pdfcpu handles LZW/RunLength/ASCIIHex/ASCII85
+    streams, /Predictor-coded streams, and encrypted documents): per
+    row, build a PDF whose content stream is encoded with a filter
+    chain cycled by doc_id (incl. a two-filter chain and two
+    PREDICTOR-coded variants — PNG filters 0-4 on Flate, TIFF
+    differencing on LZW) — or an /Encrypt-marked document every 7th
+    row — and extract through the stdlib decoders. The oracle states
+    the contract: the original text back for every supported chain,
+    EMPTY (never wrong) for encrypted."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 160).alias("t")
     )
@@ -1920,9 +1937,9 @@ def q_pdf_filters_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = make_pdf([t], encrypted=True)
                     names.append("Encrypted")
                 else:
-                    chain = _PDF_FILTER_CYCLE[did % 6]
-                    blob = make_pdf([t], filters=chain)
-                    names.append("+".join(chain))
+                    chain, pred, name = _PDF_FILTER_CYCLE[did % 8]
+                    blob = make_pdf([t], filters=chain, predictor=pred)
+                    names.append(name)
                 ext.append("\n".join(pdf_text_blocks(blob)))
             yield pd.DataFrame(
                 {"doc_id": b["doc_id"], "filter_chain": names, "extracted": ext}
@@ -2114,11 +2131,14 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc
 
 def _stopword_hits_sql(text_expr: str, words: list[str]) -> str:
     """Single-pass whole-word hit count (the Spark twin:
-    size(array_intersect(split(lower(text), '\\W+'), profile)))."""
+    size(array_intersect(split(lower(text), WORD_SEP_RE), profile))).
+    The separator class is the same Unicode-aware [^\\p{L}\\p{N}_]+ in
+    RE2 as in Java regex, so non-ASCII profile words (sv för/är/på)
+    tokenize identically on both sides."""
     lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
     return (
         f"COALESCE(len(list_intersect("
-        f"string_split_regex(lower({text_expr}), '\\W+'), [{lits}])), 0)"
+        f"string_split_regex(lower({text_expr}), '[^\\p{{L}}\\p{{N}}_]+'), [{lits}])), 0)"
     )
 
 
@@ -3059,12 +3079,14 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "pdf_filters_extract": """
             SELECT doc_id,
                    (CASE WHEN doc_id % 7 = 0 THEN 'Encrypted'
-                         WHEN doc_id % 6 = 0 THEN 'FlateDecode'
-                         WHEN doc_id % 6 = 1 THEN 'RunLengthDecode'
-                         WHEN doc_id % 6 = 2 THEN 'ASCIIHexDecode'
-                         WHEN doc_id % 6 = 3 THEN 'ASCII85Decode'
-                         WHEN doc_id % 6 = 4 THEN 'LZWDecode'
-                         ELSE 'ASCII85Decode+FlateDecode' END) AS filter_chain,
+                         WHEN doc_id % 8 = 0 THEN 'FlateDecode'
+                         WHEN doc_id % 8 = 1 THEN 'RunLengthDecode'
+                         WHEN doc_id % 8 = 2 THEN 'ASCIIHexDecode'
+                         WHEN doc_id % 8 = 3 THEN 'ASCII85Decode'
+                         WHEN doc_id % 8 = 4 THEN 'LZWDecode'
+                         WHEN doc_id % 8 = 5 THEN 'ASCII85Decode+FlateDecode'
+                         WHEN doc_id % 8 = 6 THEN 'FlateDecode+Pred12'
+                         ELSE 'LZWDecode+Pred2' END) AS filter_chain,
                    (CASE WHEN doc_id % 7 = 0 THEN ''
                          ELSE substring(text, 1, 160) END) AS extracted
             FROM documents""",

@@ -334,9 +334,10 @@ def test_pdf_cid_surrogate_pair_bfrange_extracts_empty_not_crash():
 
 
 def test_pdf_decodeparms_early_change_and_predictor():
-    """/EarlyChange 0 LZW streams decode correctly; /Predictor > 1
-    streams (unreversed row prediction would yield WRONG bytes) are
-    skipped outright — empty, never wrong."""
+    """/EarlyChange 0 LZW streams decode correctly; /Predictor-coded
+    streams decode through the PNG/TIFF reversal (round-5 directive #3);
+    geometry-mismatched or unknown predictors skip — empty, never
+    wrong."""
     import re as _re
 
     from webcrawler_go_spark.operators.doc_extract import (
@@ -358,8 +359,71 @@ def test_pdf_decodeparms_early_change_and_predictor():
         b"<< /EarlyChange 0 >> >>\nstream\n%s\nendstream" % (len(enc0), enc0),
     )
     assert pdf_text_blocks(blob0) == ["early change zero page"]
+    # a stream CLAIMING a predictor whose geometry doesn't match the
+    # decoded bytes (here: plain LZW data, not predictor-coded) must be
+    # skipped, not unfiltered into garbage text
     blobp = blob.replace(
         b"/Filter /LZWDecode",
         b"/Filter /LZWDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
     )
     assert pdf_text_blocks(blobp) == []
+
+
+def test_pdf_predictor_streams_decode():
+    """PNG predictors 10-15 (per-row filters 0-4 incl. Paeth, reusing
+    the PNG decoder's unfilter) and TIFF predictor 2 reverse correctly
+    on Flate AND LZW streams; unknown predictor values skip."""
+    from webcrawler_go_spark.operators.doc_extract import make_pdf, pdf_text_blocks
+
+    texts = ["predictor page one (escaped) \\ fin", "page two 0123456789"]
+    for pred in (2, 10, 11, 12, 13, 14, 15):
+        for filt in (["FlateDecode"], ["LZWDecode"],
+                     ["ASCII85Decode", "FlateDecode"]):
+            for cols in (7, 32):
+                blob = make_pdf(texts, filters=filt, predictor=pred,
+                                pred_columns=cols)
+                assert pdf_text_blocks(blob) == texts, (pred, filt, cols)
+    bad = make_pdf(["x"], filters=["FlateDecode"], predictor=12)
+    bad = bad.replace(b"/Predictor 12", b"/Predictor 99")
+    assert pdf_text_blocks(bad) == []
+
+
+def test_pdf_stream_bomb_guards():
+    """Decompression bombs in any supported filter are skipped before
+    materializing (per-stream decoded-size budget — same threat model
+    as the PNG decoder's _PNG_MAX_RAW_BYTES)."""
+    import zlib as _z
+
+    from webcrawler_go_spark.operators.doc_extract import (
+        _MAX_STREAM_BYTES,
+        _decode_stream,
+        _lzw_encode,
+        _rle_encode,
+    )
+
+    big = b"\x00" * (_MAX_STREAM_BYTES + 1024)
+    assert _decode_stream(b"/Filter /FlateDecode", _z.compress(big)) is None
+    assert _decode_stream(b"/Filter /RunLengthDecode", _rle_encode(big)) is None
+    assert _decode_stream(b"/Filter /LZWDecode", _lzw_encode(big)) is None
+    # sane streams still decode
+    ok = b"hello" * 100
+    assert _decode_stream(b"/Filter /FlateDecode", _z.compress(ok)) == ok
+
+
+def test_pdf_encrypt_only_counts_in_trailer():
+    """/Encrypt N M R appearing in BODY content (a document about PDF
+    internals) must not misclassify the document as encrypted; a real
+    trailer /Encrypt still extracts empty (advisor r4 finding)."""
+    from webcrawler_go_spark.operators.doc_extract import (
+        _pdf_is_encrypted,
+        make_pdf,
+        pdf_text_blocks,
+    )
+
+    body = make_pdf(["the /Encrypt 12 0 R entry marks encryption"],
+                    compress=False)
+    assert not _pdf_is_encrypted(body)
+    assert pdf_text_blocks(body) == [
+        "the /Encrypt 12 0 R entry marks encryption"
+    ]
+    assert pdf_text_blocks(make_pdf(["secret"], encrypted=True)) == []

@@ -148,6 +148,16 @@ def _decode_png_inner(blob: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != expected:
         raise ValueError("IDAT size mismatch")
 
+    return width, height, channels, png_unfilter(raw, height, stride, channels)
+
+
+def png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Reverse PNG row filters 0-4 (None/Sub/Up/Average/Paeth) over
+    ``height`` rows of ``stride`` bytes, each preceded by one
+    filter-type byte; ``bpp`` is the left-neighbor offset in bytes.
+    Shared by the PNG decoder (bpp = channels at 8-bit) and the PDF
+    /Predictor 10-15 reversal in ``operators/doc_extract.py`` (bpp =
+    Colors·BitsPerComponent/8)."""
     out = bytearray(height * stride)
     prev = bytes(stride)
     for y in range(height):
@@ -156,25 +166,25 @@ def _decode_png_inner(blob: bytes) -> tuple[int, int, int, bytes]:
         if ft == 0:
             pass
         elif ft == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         else:
             raise ValueError(f"bad filter type {ft}")
         out[y * stride:(y + 1) * stride] = line
         prev = bytes(line)
-    return width, height, channels, bytes(out)
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,8 @@ def make_docx(paragraphs: list[str]) -> bytes:
 import re
 import zlib
 
+from webcrawler_go_spark.functions.media_codecs import _paeth, png_unfilter
+
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
 # (…) literal strings with escapes, <…> hex strings — each followed by a
@@ -177,6 +179,15 @@ def _decode_hex(h: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Per-stream decoded-size budget. pdf_text_blocks runs on real fetched
+# bytes inside the http kernel, so a few-KB malicious Flate/LZW stream
+# could otherwise inflate to GBs and OOM an executor — same threat model
+# as _PNG_MAX_RAW_BYTES in functions/media_codecs.py. Exceeding the
+# budget raises, which _decode_stream maps to None (skip stream,
+# extract nothing — the empty-not-wrong contract).
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
 def _rle_decode(data: bytes) -> bytes:
     """RunLengthDecode: length byte L — L<128: copy next L+1 literals;
     L>128: repeat next byte 257−L times; L==128: EOD."""
@@ -197,6 +208,8 @@ def _rle_decode(data: bytes) -> bytes:
                 raise ValueError("truncated RunLength run")
             out += bytes([data[i + 1]]) * (257 - length)
             i += 2
+        if len(out) > _MAX_STREAM_BYTES:
+            raise ValueError("RunLength output exceeds per-stream budget")
     return bytes(out)
 
 
@@ -284,9 +297,13 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 entry = table[code]
             elif code in table:
                 entry = table[code]
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-            elif code == next_code:
+                if next_code <= 4095:
+                    # table capped at the 12-bit code space — once full,
+                    # keep decoding with existing entries (mirrors the
+                    # encoder, bounds table memory on malicious input)
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            elif code == next_code and next_code <= 4095:
                 entry = prev + prev[:1]
                 table[next_code] = entry
                 next_code += 1
@@ -294,6 +311,8 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise ValueError(f"bad LZW code {code}")
             out += entry
             prev = entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError("LZW output exceeds per-stream budget")
             # decoder's table lags the encoder's by ONE entry (the first
             # data code after a clear adds none), so it must switch
             # width one code earlier than the encoder's own schedule
@@ -341,8 +360,13 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
 
 def _flate_decode(data: bytes) -> bytes:
     # decompressobj, NOT decompress+strip: compressed payloads can
-    # legitimately END in EOL bytes (see pdf_text_blocks note)
-    return zlib.decompressobj().decompress(data)
+    # legitimately END in EOL bytes (see pdf_text_blocks note).
+    # max_length stops the inflater AT the budget — an over-long stream
+    # fails here without ever materializing the full bomb output.
+    out = zlib.decompressobj().decompress(data, _MAX_STREAM_BYTES + 1)
+    if len(out) > _MAX_STREAM_BYTES:
+        raise ValueError("FlateDecode output exceeds per-stream budget")
+    return out
 
 
 # filter name → (decoder, encoder); encoders exist for fixture building
@@ -370,24 +394,105 @@ def _stream_filters(stream_dict: bytes) -> list[str] | None:
 
 _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _int_parm(rx: re.Pattern, stream_dict: bytes, default: int) -> int:
+    m = rx.search(stream_dict)
+    return int(m.group(1)) if m else default
+
+
+def _reverse_predictor(stream_dict: bytes, data: bytes) -> bytes | None:
+    """Reverse a /Predictor DecodeParm on decoded Flate/LZW output
+    (PDF 1.7 §7.4.4.4). Predictor 2 = TIFF horizontal differencing
+    (8-bit components only here); 10-15 = PNG row filters — the per-row
+    filter byte governs, so all six map to the same reversal, reusing
+    the PNG decoder's filter 0-4 unfilter incl. Paeth
+    (functions/media_codecs.py; reference parity parser/pdf.go:11-53,
+    pdfcpu handles predictor-coded streams). Returns None on geometry
+    mismatch — skip the stream, never emit garbage."""
+    pred = _int_parm(_PREDICTOR_RE, stream_dict, 1)
+    if pred <= 1:
+        return data
+    columns = _int_parm(_COLUMNS_RE, stream_dict, 1)
+    colors = _int_parm(_COLORS_RE, stream_dict, 1)
+    bpc = _int_parm(_BPC_RE, stream_dict, 8)
+    if pred == 2:
+        if bpc != 8:
+            return None
+        stride = columns * colors
+        if stride <= 0 or len(data) % stride:
+            return None
+        out = bytearray(data)
+        for r0 in range(0, len(out), stride):
+            for i in range(colors, stride):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - colors]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        stride = (columns * colors * bpc + 7) // 8
+        bpp = max(1, colors * bpc // 8)
+        if stride <= 0 or len(data) % (stride + 1):
+            return None
+        try:
+            return png_unfilter(data, len(data) // (stride + 1), stride, bpp)
+        except ValueError:
+            return None
+    return None  # unknown predictor value
+
+
+def _png_predictor_encode(data: bytes, columns: int) -> bytes:
+    """Fixture-side forward PNG-predictor coding (colors=1, bpc=8):
+    rows of ``columns`` bytes, each prefixed with a filter-type byte
+    cycling 0-4 so every filter incl. Paeth is exercised; ``data``
+    length must be a multiple of ``columns``."""
+    assert len(data) % columns == 0
+    out = bytearray()
+    prev = bytes(columns)
+    for r, r0 in enumerate(range(0, len(data), columns)):
+        row = data[r0 : r0 + columns]
+        ft = r % 5
+        out.append(ft)
+        for i in range(columns):
+            left = row[i - 1] if i >= 1 else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - left
+            elif ft == 2:
+                v = row[i] - prev[i]
+            elif ft == 3:
+                v = row[i] - (left + prev[i]) // 2
+            else:
+                ul = prev[i - 1] if i >= 1 else 0
+                v = row[i] - _paeth(left, prev[i], ul)
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _tiff_predictor_encode(data: bytes, columns: int) -> bytes:
+    """Fixture-side forward TIFF horizontal differencing (colors=1,
+    bpc=8) over rows of ``columns`` bytes."""
+    assert len(data) % columns == 0
+    out = bytearray(data)
+    for r0 in range(0, len(out), columns):
+        for i in range(columns - 1, 0, -1):
+            out[r0 + i] = (data[r0 + i] - data[r0 + i - 1]) & 0xFF
+    return bytes(out)
 
 
 def _decode_stream(stream_dict: bytes, data: bytes) -> bytes | None:
-    """Apply the stream's full filter chain in order. Returns None for
-    unsupported filters or corrupt data — callers extract NOTHING from
-    such streams, never wrong text (parser/pdf.go error contract).
-
-    DecodeParms handling: ``/Predictor > 1`` (PNG/TIFF row predictors on
-    Flate/LZW output) is NOT reversed here — decoding without reversing
-    it would yield WRONG bytes, so such streams are skipped outright
-    (the one DecodeParms case where ignoring the parm breaks the
-    empty-not-wrong contract). ``/EarlyChange 0`` on LZW is honored."""
+    """Apply the stream's full filter chain in order, then reverse any
+    /Predictor DecodeParm. Returns None for unsupported filters or
+    corrupt data — callers extract NOTHING from such streams, never
+    wrong text (parser/pdf.go error contract). ``/EarlyChange 0`` on
+    LZW is honored; /Predictor 2 and 10-15 are reversed (PNG-filter
+    composition), unknown predictor values skip the stream."""
     filters = _stream_filters(stream_dict)
     if filters is None:
         return None
-    pm = _PREDICTOR_RE.search(stream_dict)
-    if pm and int(pm.group(1)) > 1:
-        return None  # predictor-coded: skip rather than emit garbage
     early = 1
     em = _EARLY_CHANGE_RE.search(stream_dict)
     if em:
@@ -403,7 +508,7 @@ def _decode_stream(stream_dict: bytes, data: bytes) -> bytes | None:
                 data = codec[0](data)
         except Exception:  # noqa: BLE001 — corrupt stream: extract nothing
             return None
-    return data
+    return _reverse_predictor(stream_dict, data)
 
 
 def _cid_text(raw: bytes, cmap: dict[int, str]) -> str:
@@ -559,6 +664,26 @@ def pdf_cid_fonts(payload: bytes) -> dict[str, dict[int, str]]:
 
 
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s*R")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+def _pdf_is_encrypted(payload: bytes) -> bool:
+    """/Encrypt counts only when it appears in the TRAILER dictionary
+    region, not anywhere in the body — an unencrypted document whose
+    content happens to contain '/Encrypt N M R' (e.g. a document about
+    PDF internals) must not misclassify and extract empty. Scope: from
+    the LAST 'trailer' keyword; for xref-stream PDFs (no trailer
+    keyword) a 2 KiB window at the startxref target offset; whole
+    payload only as the malformed-document fallback."""
+    t = payload.rfind(b"trailer")
+    if t != -1:
+        return _ENCRYPT_RE.search(payload, t) is not None
+    matches = list(_STARTXREF_RE.finditer(payload))
+    if matches:
+        off = int(matches[-1].group(1))
+        if 0 <= off < len(payload):
+            return _ENCRYPT_RE.search(payload[off : off + 2048]) is not None
+    return _ENCRYPT_RE.search(payload) is not None
 
 
 def pdf_text_blocks(payload: bytes) -> list[str]:
@@ -570,7 +695,7 @@ def pdf_text_blocks(payload: bytes) -> list[str]:
     Identity-H CID fonts decode through their ToUnicode cmap
     (``pdf_cid_fonts``); CID strings with no mapping extract empty, not
     wrong."""
-    if _ENCRYPT_RE.search(payload):
+    if _pdf_is_encrypted(payload):
         # encrypted document: content streams are ciphertext — any
         # "text" walked out of them would be garbage, so extract empty
         return []
@@ -700,6 +825,8 @@ def make_pdf(
     compress: bool = True,
     filters: list[str] | None = None,
     encrypted: bool = False,
+    predictor: int | None = None,
+    pred_columns: int = 32,
 ) -> bytes:
     """Minimal valid single-font PDF builder (test fixture helper —
     deterministic; one page per text, one BT block per page).
@@ -709,7 +836,11 @@ def make_pdf(
     apply in REVERSE chain order so decoding in chain order recovers the
     content (PDF 1.7 §7.4 semantics). ``encrypted=True`` adds an
     /Encrypt entry to the trailer (boundary fixture: extractors must
-    return nothing, not garbage)."""
+    return nothing, not garbage). ``predictor`` (2 or 10-15) applies
+    that DecodeParm predictor (colors=1, bpc=8, ``pred_columns``
+    columns) to the content BEFORE filter encoding, newline-padding the
+    content to a row multiple (padding lands outside BT…ET, so
+    extracted text is unchanged)."""
     objs: list[bytes] = []
     n_pages = len(texts)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -724,12 +855,26 @@ def make_pdf(
     for i, text in enumerate(texts):
         esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        parms = b""
+        if predictor is not None:
+            if len(content) % pred_columns:
+                content += b"\n" * (pred_columns - len(content) % pred_columns)
+            if predictor == 2:
+                content = _tiff_predictor_encode(content, pred_columns)
+            else:
+                content = _png_predictor_encode(content, pred_columns)
+            parms = (
+                f" /DecodeParms << /Predictor {predictor}"
+                f" /Columns {pred_columns} >>".encode()
+            )
         for name in reversed(filters):
             content = _STREAM_CODECS[name][1](content)
         if len(filters) == 1:
-            filt = f" /Filter /{filters[0]}".encode()
+            filt = f" /Filter /{filters[0]}".encode() + parms
         elif filters:
-            filt = (" /Filter [" + " ".join(f"/{n}" for n in filters) + "]").encode()
+            filt = (
+                " /Filter [" + " ".join(f"/{n}" for n in filters) + "]"
+            ).encode() + parms
         else:
             filt = b""
         objs.append(

@@ -53,13 +53,22 @@ def token_count_bpe_ish(text: Column) -> Column:
     ).cast("long")
 
 
+# Unicode-aware word separator: runs of anything that is not a letter,
+# digit, or underscore. ``\p{L}``/``\p{N}`` are Unicode classes in BOTH
+# Java regex (Spark) and RE2 (DuckDB), unlike ``\W`` which is ASCII-only
+# in both — with ``\W+`` the non-ASCII Swedish stopwords (för, är, på)
+# could never match because ö/ä/å were themselves split points.
+WORD_SEP_RE = r"[^\p{L}\p{N}_]+"
+
+
 def word_tokens(text: Column) -> Column:
-    """Lowercased whole-word tokens: ONE split on non-word runs. A
-    profile word w appears as a token here iff ``\\bw\\b`` matches the
-    text (word chars = [A-Za-z0-9_] in both Java regex and RE2), so
-    token-set intersection reproduces the per-word regex-scan semantics
-    in a single pass."""
-    return F.split(F.lower(text), r"\W+")
+    """Lowercased whole-word tokens: ONE Unicode-aware split on
+    non-letter/digit/underscore runs. A profile word w (ASCII or not)
+    appears as a token here iff it occurs in the text delimited by
+    non-word characters, so token-set intersection reproduces a
+    per-word whole-word scan in a single pass. The DuckDB oracle uses
+    the identical RE2 class (see ``_stopword_hits_sql``)."""
+    return F.split(F.lower(text), WORD_SEP_RE)
 
 
 def stopword_hits(
