@@ -59,18 +59,20 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert "text" in plan
 
 
-def test_ivf_plan_free_of_interpreted_hofs(spark):
-    """Round-4 directive #3: the IVF hot path (centroid assignment +
-    probe scoring) must run in whole-stage codegen — no interpreted
-    higher-order functions (aggregate/zip_with evaluate per row outside
-    codegen, the measured ~20× trap at 10^9 vectors)."""
-    plan = _plan(spark, "embedding_ivf_topk")
-    assert "ArrayAggregate" not in plan
-    assert "ZipWith" not in plan
-    assert "zip_with(" not in plan
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_plan_free_of_interpreted_hofs(spark, name):
+    """Round-5 directive #2 (extends the round-4 IVF-only check to the
+    ENTIRE registered surface): every hot path must run in whole-stage
+    codegen — no interpreted higher-order functions (aggregate /
+    zip_with evaluate per row outside codegen, the measured ~20× trap
+    at 10^9 vectors)."""
+    plan = _plan(spark, name)
+    assert "ArrayAggregate" not in plan, name
+    assert "ZipWith" not in plan, name
+    assert "zip_with(" not in plan, name
     # HOF aggregate prints lowercase `aggregate(...)`; the codegen
     # HashAggregate/SortAggregate nodes print with a capital A
-    assert "aggregate(" not in plan
+    assert "aggregate(" not in plan, name
 
 
 def test_no_row_at_a_time_python_udfs(spark):

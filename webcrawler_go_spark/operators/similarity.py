@@ -136,7 +136,9 @@ def cosine_pairs_quantized(
     """Exact all-pairs cosine over quantized vectors (oracle-reproducible;
     see ``quantized``). Returns (a, b, cosine) with a < b."""
     q = emb.select(F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q"))
-    q = q.withColumn("n2", _qdot(F.col("q"), F.col("q")))
+    # norms via the same Arrow/numpy kernel as the pair dots (n rows,
+    # once each) — keeps the whole plan free of interpreted HOFs
+    q = q.withColumn("n2", _qdot_pandas(F.col("q"), F.col("q")))
     a = q.select(F.col("id").alias("a"), F.col("q").alias("qa"), F.col("n2").alias("n2a"))
     b = q.select(F.col("id").alias("b"), F.col("q").alias("qb"), F.col("n2").alias("n2b"))
     pairs = a.join(b, F.col("a") < F.col("b"))
@@ -489,9 +491,13 @@ def lsh_candidate_pairs_banded(
     # is emitted ONLY from the first one — a local filter per matched
     # row, replacing a cluster-wide shuffle-DISTINCT over up to B×
     # candidate instances (the classic multi-probe LSH dedup device).
-    first_agree = F.array_position(
-        F.zip_with("sa", "sb", lambda x, y: x == y), True
-    )
+    # B is a plan-time constant, so the "first index where sa[t]==sb[t]"
+    # unrolls into a static CASE WHEN chain over GetArrayItem — pure
+    # whole-stage codegen, unlike the array_position(zip_with(..)) HOF
+    # form it replaces (interpreted per matched row; round-5 directive).
+    first_agree = F.when(F.col("sa")[0] == F.col("sb")[0], 0)
+    for t in range(1, n_tables):
+        first_agree = first_agree.when(F.col("sa")[t] == F.col("sb")[t], t)
     cand = (
         keys.select(F.col("id").alias("a"), F.col("sigs").alias("sa"), "tbl", "bucket")
         .join(
@@ -499,7 +505,7 @@ def lsh_candidate_pairs_banded(
             ["tbl", "bucket"],
         )
         .filter(F.col("a") < F.col("b"))
-        .filter(F.col("tbl") == first_agree - 1)
+        .filter(F.col("tbl") == first_agree.otherwise(-1))
         .select("a", "b")
     )
     dot = _qdot_pandas if scale else _dot
