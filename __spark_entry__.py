@@ -2854,7 +2854,8 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": """
             SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
                    CAST(g * 10 AS INT) AS frame_idx,
-                   CAST((g * 10 * 1000) // 24 AS BIGINT) AS ts_ms
+                   CAST((g * 10 * 1000) // 24 AS BIGINT) AS ts_ms,
+                   CAST(NULL AS VARCHAR) AS decode_error
             FROM documents
             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g)
             WHERE doc_id % 4 = 2 AND g * 10 < strlen(text) % 240 + 1""",

@@ -62,9 +62,8 @@ def test_media_decode_real_path_unknown_format_error_row(spark):
 
 def test_sample_frames_plumbing(spark):
     """Frame sampling: only video blobs emit rows; every 10th frame up to
-    8; 24fps integer timestamps; real-decoder path raises."""
-    import pytest
-
+    8; 24fps integer timestamps; the real-decoder path emits per-row
+    decode_error rows (honest no-codec-libs boundary), never raises."""
     from webcrawler_go_spark.operators.multimodal import sample_frames
 
     blobs = spark.createDataFrame(
@@ -79,5 +78,32 @@ def test_sample_frames_plumbing(spark):
     assert [(r.media_ref, r.frame_idx, r.ts_ms) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
         ("media://v", fi, fi * 1000 // 24) for fi in range(0, 80, 10)
     ]
-    with pytest.raises(Exception):
-        sample_frames(blobs, use_fake_decoder=False).collect()
+    assert all(r.decode_error is None for r in rows)
+    real = sample_frames(blobs, use_fake_decoder=False).collect()
+    assert len(real) == 1  # one error row per video blob, image skipped
+    assert real[0].media_ref == "media://v"
+    assert real[0].frame_idx is None and real[0].ts_ms is None
+    assert "codec" in real[0].decode_error
+
+
+def test_sample_frames_bad_blob_isolated(spark):
+    """Round-5 directive #6 contract: ONE bad blob (null payload) emits
+    an error row while the good blobs in the same batch still sample —
+    the job never fails (symmetric with decode_media)."""
+    from webcrawler_go_spark.operators.multimodal import sample_frames
+
+    blobs = spark.createDataFrame(
+        [
+            ("media://good", "video", bytearray(b"x" * 25), {}),
+            ("media://bad", "video", None, {}),
+        ],
+        "media_ref string, media_type string, payload binary, meta map<string,string>",
+    )
+    rows = sample_frames(blobs, every=10, max_frames=8, use_fake_decoder=True).collect()
+    good = [r for r in rows if r.media_ref == "media://good"]
+    bad = [r for r in rows if r.media_ref == "media://bad"]
+    # 25 bytes → 26 frames → idx 0,10,20
+    assert sorted(r.frame_idx for r in good) == [0, 10, 20]
+    assert all(r.decode_error is None for r in good)
+    assert len(bad) == 1 and bad[0].frame_idx is None
+    assert bad[0].decode_error

@@ -155,8 +155,9 @@ def decode_media(blobs: DataFrame, use_fake_decoder: bool = False) -> DataFrame:
 FRAME_ROWS = StructType(
     [
         StructField("media_ref", StringType(), False),
-        StructField("frame_idx", IntegerType(), False),
-        StructField("ts_ms", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("decode_error", StringType(), True),
     ]
 )
 
@@ -173,32 +174,50 @@ def sample_frames(
     frame, at most ``max_frames`` per video, with the frame timestamp at
     the fake container's 24 fps. Same stub policy as ``decode_media`` —
     the batch/partitioning/schema plumbing is real; the codec math is a
-    deterministic fake (frame count = payload length mod 240 + 1)."""
+    deterministic fake (frame count = payload length mod 240 + 1).
+
+    Per-row isolation (round-5 directive #6, symmetric with
+    ``decode_media``): a blob the kernel cannot sample — including the
+    honest no-codec-libs boundary on the real path — emits ONE row with
+    NULL frame columns and ``decode_error`` set; it never raises in-kernel,
+    so one bad blob never aborts the Spark job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if not use_fake_decoder:
-                raise NotImplementedError(
-                    "video decoding requires codec libraries not present "
-                    "in this container; pass use_fake_decoder=True"
-                )
             vids = b[b["media_type"] == "video"]
-            refs, idxs, tss = [], [], []
+            refs: list = []
+            idxs: list = []
+            tss: list = []
+            errs: list = []
             for ref, payload in zip(vids["media_ref"], vids["payload"]):
-                n_frames = len(payload) % 240 + 1
-                taken = 0
-                for fi in range(0, n_frames, every):
-                    if taken >= max_frames:
-                        break
+                try:
+                    if not use_fake_decoder:
+                        raise NotImplementedError(
+                            "video decoding requires codec libraries not "
+                            "present in this container; pass "
+                            "use_fake_decoder=True"
+                        )
+                    n_frames = len(payload) % 240 + 1
+                    taken = 0
+                    for fi in range(0, n_frames, every):
+                        if taken >= max_frames:
+                            break
+                        refs.append(ref)
+                        idxs.append(fi)
+                        tss.append(fi * 1000 // FAKE_FPS)
+                        errs.append(None)
+                        taken += 1
+                except Exception as exc:  # noqa: BLE001 — per-row isolation
                     refs.append(ref)
-                    idxs.append(fi)
-                    tss.append(fi * 1000 // FAKE_FPS)
-                    taken += 1
+                    idxs.append(None)
+                    tss.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {
                     "media_ref": pd.Series(refs, dtype="object"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "ts_ms": pd.Series(tss, dtype="Int64"),
+                    "decode_error": pd.Series(errs, dtype="object"),
                 }
             )
 
