@@ -2492,6 +2492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         # (3e) __spark_entry__ streaming body changed (timeout raise)
         "streaming_window_agg": q_streaming_window_agg,
+        # (3f) fetch.py changed (hot-host rank-chunk salt in the kernel
+        # exchange) — every query that runs the fetch kernel re-proves
+        "crawl_multiround": q_crawl_multiround,
+        "resume_crawl": q_resume_crawl,
+        "redirect_chain": q_redirect_chain,
+        "head_probe": q_head_probe,
         # (4) freshest row is r2 (3 rounds old) — the directive-#4 list
         "sitemap_output": q_sitemap_output,
         "truncate_ellipsis": q_truncate_ellipsis,
@@ -2510,16 +2516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (5) oldest r3 rows, rotated while slots remain
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
+        # ---- position 50 boundary: everything below holds a green
+        # ---- r4 row (or an r3 row ≤2 rounds old) on code byte-unchanged
         "events_error_rate": q_events_error_rate,
         "headline_filename": q_headline_filename,
         "resolve_reference": q_resolve_reference,
         "lastmod_date_parse": q_lastmod_date_parse,
-        # ---- position 50 boundary: everything below holds a green
-        # ---- r4 row (or an r3 row) on code byte-unchanged since
-        "redirect_chain": q_redirect_chain,
-        "resume_crawl": q_resume_crawl,
-        "crawl_multiround": q_crawl_multiround,
-        "head_probe": q_head_probe,
         "broken_links": q_broken_links,
         "same_host_filter": q_same_host_filter,
         "image_size_threshold": q_image_size_threshold,

@@ -204,7 +204,30 @@ def fetch_frontier(
             width = par * mult
             if size_hint is not None:
                 width = max(1, min(width, size_hint // 500 + 1))
-            scheduled = scheduled.repartition(width, F.col("host"))
+            # hot-host spread (round-5 skew bench finding): hashing by
+            # host alone puts a mega-host's whole round in ONE task — at
+            # 50% frontier skew the fetch stage straggled 2.7× even with
+            # the salted RANK in place (the rank was fine; the kernel
+            # partitioning was the bottleneck). Salt the partition key
+            # with the host-rank chunk (seq's low half = host_rank, rank
+            # order preserved within each contiguous chunk) so a host
+            # spreads across ceil(n/chunk) tasks. HTTP backend keeps
+            # strict co-location: connection reuse + crawl-delay are
+            # per-task-local there, and a politely-crawled host never
+            # legitimately schedules >chunk URLs in one round anyway.
+            chunk = int(
+                _os.environ.get(
+                    "SPARK_GRAFT_FETCH_HOST_CHUNK",
+                    "0" if backend == "http" else "25000",
+                )
+            )
+            if chunk > 0 and "seq" in scheduled.columns:
+                salt = (
+                    F.col("seq").bitwiseAND(F.lit((1 << 32) - 1)) / F.lit(chunk)
+                ).cast("long")
+                scheduled = scheduled.repartition(width, F.col("host"), salt)
+            else:
+                scheduled = scheduled.repartition(width, F.col("host"))
 
     if backend == "synthetic":
         # Arrow-native path (mapInArrow): flat-buffer span construction
