@@ -78,9 +78,16 @@ def crawl_throughput(spark, cpus: int) -> tuple[float, int, float]:
     finally:
         shutil.rmtree(warm_state, ignore_errors=True)
 
-    world = World(n_hosts=800, pages_per_host=1500, max_links=30)
-    cfg = CrawlConfig(max_rounds=6, default_host_budget=20000)
-    seeds = gen_seeds(world, 128)
+    # world sized so later rounds reach the amortized regime the
+    # round-5 measurement mapped (BENCH_AMORTIZATION.json): 4 rounds
+    # growing 1k → ~684k URLs/round. The sustained number then reflects
+    # rounds big enough to amortize the measured 2.2 s/round fixed cost
+    # (5% at the final round) — the regime the 100-TB loop runs in —
+    # instead of the old 6-round crawl whose ~25k-URL rounds paid ~40%
+    # fixed cost by construction.
+    world = World(n_hosts=4000, pages_per_host=4000, max_links=30)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=20000)
+    seeds = gen_seeds(world, 1024)
     state = tempfile.mkdtemp(prefix="bench-crawl-")
     try:
         eng = CrawlEngine(
