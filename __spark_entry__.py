@@ -868,6 +868,100 @@ def _head_probe_oracle_sql() -> str:
     )
 
 
+RENDER_WORLD_URLS = [
+    f"https://host-{h:04d}.test/page/{p}" for h in range(12) for p in range(8)
+]
+
+
+def _render_urls_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(u,) for u in RENDER_WORLD_URLS], "url_norm string"
+    ).select(
+        "url_norm",
+        F.regexp_extract("url_norm", r"https://([^/]*)", 1).alias("host"),
+    )
+
+
+def q_rendered_dom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 rendered-dom-source (pdfcapture.go:226-305): the render kernel
+    over a fixed world-URL set — one row per URL carrying the JS eval's
+    exact output contract (absolute hrefs, javascript:/mailto:/tel:
+    filtered browser-side, newline-joined). The renderer is the
+    deterministic fake (no Chrome in this container — same honest-stub
+    policy as video decode; the chromium path emits per-row
+    render_error rows, pytest-covered); the oracle is golden VALUES
+    from the same scalar reference, so the kernel's payload is
+    value-checked byte-for-byte."""
+    from webcrawler_go_spark.operators.render import render_frontier
+    from webcrawler_go_spark.worldgen import World
+
+    return render_frontier(_render_urls_df(spark), World())
+
+
+def q_extract_links_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 extract-links-rendered (pdfcapture.go:440-467): split the
+    rendered payload on newlines, trim, drop empties, same-domain only —
+    pure Catalyst split/posexplode/filter over the S6 source, document
+    order preserved as link_pos."""
+    from webcrawler_go_spark.operators.render import (
+        extract_links_rendered,
+        render_frontier,
+    )
+    from webcrawler_go_spark.worldgen import World
+
+    return extract_links_rendered(render_frontier(_render_urls_df(spark), World()))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _rendered_dom_oracle_sql() -> str:
+    """Golden VALUES from the scalar fake renderer (head_probe pattern):
+    url, host, the exact newline-joined payload, NULL render_error."""
+    from webcrawler_go_spark.worldgen import World, rendered_links_raw
+
+    w = World()
+    rows = []
+    for u in RENDER_WORLD_URLS:
+        host = u.split("/")[2]
+        rows.append(
+            f"({_sql_str(u)}, {_sql_str(host)}, "
+            f"{_sql_str(rendered_links_raw(w, u))}, CAST(NULL AS VARCHAR))"
+        )
+    vals = ",\n              ".join(rows)
+    return (
+        "SELECT url_norm, host, links_raw, render_error\n"
+        f"            FROM (VALUES {vals}) AS t(url_norm, host, links_raw, render_error)"
+    )
+
+
+def _extract_links_rendered_oracle_sql() -> str:
+    """Golden VALUES mirroring the Go-side filter chain
+    (pdfcapture.go:443-467) in plain Python over the scalar renderer:
+    split on newline, TrimSpace, skip empties, same-host only; link_pos
+    is the pre-filter document-order index (posexplode parity)."""
+    from webcrawler_go_spark.worldgen import World, rendered_links_raw
+
+    w = World()
+    rows = []
+    for u in RENDER_WORLD_URLS:
+        host = u.split("/")[2]
+        for pos, raw in enumerate(rendered_links_raw(w, u).split("\n")):
+            link = raw.strip()
+            if not link:
+                continue
+            link_host = link.split("/")[2] if "://" in link else ""
+            if link_host != host:
+                continue
+            rows.append(f"({_sql_str(u)}, {_sql_str(link)}, {pos})")
+    vals = ",\n              ".join(rows)
+    return (
+        "SELECT found_on, link, CAST(link_pos AS INT) AS link_pos\n"
+        f"            FROM (VALUES {vals}) AS t(found_on, link, link_pos)"
+    )
+
+
 def _ivf_topk_oracle_sql(
     k: int = 5, n_cells: int = 8, n_queries: int = 8, nprobe: int = 1
 ) -> str:
@@ -2454,6 +2548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (1) new this round
         "streaming_crawl": q_streaming_crawl,
+        "rendered_dom_source": q_rendered_dom_source,
+        "extract_links_rendered": q_extract_links_rendered,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -2513,11 +2609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_prefix_filter": q_path_prefix_filter,
         "html_only_filter": q_html_only_filter,
         "content_type_dispatch": q_content_type_dispatch,
-        # (5) oldest r3 rows, rotated while slots remain
-        "events_window_agg": q_events_window_agg,
-        "events_sessionize": q_events_sessionize,
         # ---- position 50 boundary: everything below holds a green
         # ---- r4 row (or an r3 row ≤2 rounds old) on code byte-unchanged
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
         "headline_filename": q_headline_filename,
         "resolve_reference": q_resolve_reference,
@@ -2882,6 +2977,8 @@ def oracle_sql() -> dict[str, str]:
         # the STREAMING-hosted loop must equal the batch engine and the
         # sequential golden crawl — identical oracle
         "streaming_crawl": _crawl_multiround_oracle_sql(),
+        "rendered_dom_source": _rendered_dom_oracle_sql(),
+        "extract_links_rendered": _extract_links_rendered_oracle_sql(),
         "redirect_chain": """
             SELECT CAST(c_custkey AS BIGINT) AS k,
                    CAST(CASE WHEN c_custkey % 14 >= 10 THEN 0 ELSE 200 END AS INT) AS status,

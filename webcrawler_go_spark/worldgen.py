@@ -185,6 +185,51 @@ def outlinks_of(world: World, url: str) -> list[str]:
     return links
 
 
+def rendered_dom_hrefs(world: World, url: str) -> list[str]:
+    """Raw ``a[href]`` values of the page's post-JS DOM — the
+    deterministic fake renderer (same honest-stub policy as the video
+    decoder: the real path needs headless Chrome, absent here; the
+    Spark-side plumbing is real and this fake is shared byte-for-byte by
+    the kernel and the golden oracle). The fake DOM contains, in
+    document order: the page's STATIC outlinks (a real renderer sees
+    those too), 0-4 JS-revealed same-host links under ``/js/``, 0-2
+    cross-host links (SkippedExternal parity, pdfcapture.go:455-458),
+    and deterministic junk entries — ``javascript:``/``mailto:``/
+    ``tel:`` hrefs and whitespace-padded entries — that the JS eval and
+    the Go trim respectively must drop (pdfcapture.go:300-305,
+    443-449)."""
+    if status_of(world, url) != 200 or content_type_of(world, url) != "text/html":
+        return []
+    hi, _ = _host_page_of(url)
+    h = _h(world, url, 11)
+    hrefs = list(outlinks_of(world, url))
+    for i in range(h % 5):  # JS-revealed, same host
+        hh = splitmix64(h ^ (i * 0x9E3779B97F4A7C15 + 1))
+        link = f"https://{host_name(hi % world.n_hosts)}/js/{hh % world.pages_per_host}"
+        # every 3rd JS link arrives whitespace-padded (TrimSpace parity)
+        hrefs.append(f"  {link} " if i % 3 == 2 else link)
+    for i in range((h >> 3) % 3):  # cross-host (skipped-external parity)
+        hrefs.append(f"https://cdn-{(h >> (8 + 4 * i)) % 50:02d}.example/asset/{i}")
+    if h % 4 == 0:
+        hrefs.append("javascript:void(0)")
+    if h % 4 == 1:
+        hrefs.append(f"mailto:owner@{host_name(hi % world.n_hosts)}")
+    if h % 4 == 2:
+        hrefs.append("tel:+1-555-0100")
+    return hrefs
+
+
+def rendered_links_raw(world: World, url: str) -> str:
+    """The JS eval's exact output contract (pdfcapture.go:300-305):
+    ``querySelectorAll('a[href]')`` hrefs, ``javascript:``/``mailto:``/
+    ``tel:`` filtered OUT browser-side, newline-joined."""
+    return "\n".join(
+        h
+        for h in rendered_dom_hrefs(world, url)
+        if h and not h.startswith(("javascript:", "mailto:", "tel:"))
+    )
+
+
 def text_spans_of(world: World, url: str) -> list[str]:
     h = _h(world, url, 7)
     n = 1 + h % world.max_text_spans
