@@ -1824,6 +1824,40 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (Lee et al. 2022's suffix-array dedup,
+    re-expressed distributed as seed-and-extend: positional 5-gram seed
+    matches → one gram-keyed shuffle → gaps-and-islands maximal-run
+    merge per (pair, diagonal)). The corpus synthesizes shared passages
+    SQL-reproducibly: every 9th doc is prefixed with the first 240
+    chars of its successor's text, so (9k, 9k+1) share a ~40-token
+    passage; the oracle re-derives the identical runs."""
+    from webcrawler_go_spark.operators.textdedup import duplicate_passages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    corpus = d.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 9 == 0) & F.col("next_text").isNotNull(),
+            F.concat(F.substring("next_text", 1, 240), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_passages(corpus, n=5, min_len=8)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms with integer-quantized idf (millinat
+    floor) so ranking is bit-deterministic across engines."""
+    from webcrawler_go_spark.operators.textanalysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 late-data semantics at the production OUTPUT shape (round-5;
     complements `streaming_window_agg`'s complete-mode memory-sink demo
@@ -2602,6 +2636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendered_dom_source": q_rendered_dom_source,
         "extract_links_rendered": q_extract_links_rendered,
         "streaming_append_sink": q_streaming_append_sink,
+        "duplicate_passages": q_duplicate_passages,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -2632,8 +2668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3d) textanalysis.py changed (Unicode word split)
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "text_normalize": q_text_normalize,
-        "sample_stratified": q_sample_stratified,
         "pii_scrub": q_pii_scrub,
         "ngram_contamination": q_ngram_contamination,
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -2662,11 +2696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_dispatch": q_content_type_dispatch,
         # ---- position 50 boundary: everything below holds a green
         # ---- r4 row (or an r3 row ≤2 rounds old) on code byte-unchanged.
-        # text_repetition sits first: textanalysis.py changed this round
-        # but ONLY in word_tokens/stopword profiles, which
-        # repetition_features does not call (function body byte-identical
-        # — the one module-changed row the 50 slots could not fit).
+        # text_repetition/text_normalize/sample_stratified sit first:
+        # textanalysis.py changed this round but ONLY in the
+        # word_tokens/stopword region (+ the appended tfidf operator),
+        # which these three do not call (function bodies byte-identical
+        # — the module-changed rows the 50 slots could not fit).
         "text_repetition": q_text_repetition,
+        "text_normalize": q_text_normalize,
+        "sample_stratified": q_sample_stratified,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
@@ -3320,6 +3357,69 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
             FROM (
               SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
             ) GROUP BY 1, 2""",
+        "duplicate_passages": """
+            WITH corpus AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 9 = 0 AND n.text IS NOT NULL
+                          THEN substring(n.text, 1, 240) || ' ' || d.text
+                          ELSE d.text END AS text
+              FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+            ),
+            tok AS (
+              SELECT doc_id, CAST(t.i AS INT) - 1 AS pos, l[t.i] AS token
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                    FROM corpus),
+                   unnest(generate_series(1, len(l))) AS t(i)
+              WHERE l[t.i] <> ''
+            ),
+            grams AS (
+              SELECT doc_id, pos,
+                     token || ' ' || lead(token,1) OVER w || ' ' ||
+                     lead(token,2) OVER w || ' ' || lead(token,3) OVER w || ' ' ||
+                     lead(token,4) OVER w AS gram,
+                     lead(token,4) OVER w AS last4
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            g AS (SELECT doc_id, pos, gram FROM grams WHERE last4 IS NOT NULL),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT *, a_pos - row_number() OVER (
+                          PARTITION BY doc_a, doc_b, diag ORDER BY a_pos) AS island
+              FROM m
+            )
+            SELECT doc_a, doc_b,
+                   CAST(MIN(a_pos) AS INT) AS a_start,
+                   CAST(MIN(b_pos) AS INT) AS b_start,
+                   CAST(COUNT(*) + 4 AS INT) AS match_len
+            FROM isl GROUP BY doc_a, doc_b, diag, island
+            HAVING COUNT(*) + 4 >= 8""",
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, l[t.i] AS token
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                    FROM documents),
+                   unnest(generate_series(1, len(l))) AS t(i)
+              WHERE l[t.i] <> ''
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, token,
+                     CAST(tf * CAST(floor(1000.0 * ln(CAST(n AS DOUBLE) / df))
+                          AS BIGINT) AS BIGINT) AS score
+              FROM tf JOIN df USING (token), n
+            )
+            SELECT doc_id, token, tfidf_rank, score FROM (
+              SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT)
+                   AS tfidf_rank
+              FROM scored
+            ) WHERE tfidf_rank <= 3""",
         # append mode emits a window exactly once, when the watermark
         # (max event time − 2h) passes its END — the oracle is the batch
         # aggregation restricted to those finalized windows

@@ -220,3 +220,82 @@ def test_boilerplate_ngram_stats_counts_high_df_grams(spark):
         assert got[i].n_boilerplate_ngrams == 1, i
         assert got[i].n_ngrams == 4  # 6 tokens -> 4 trigrams
     assert got[6].n_boilerplate_ngrams == 0
+
+
+def test_duplicate_passages_maximal_runs(spark):
+    """Seed-and-extend passage dedup: one maximal run per shared
+    passage (gaps-and-islands on the diagonal), min_len filter, and no
+    run across a gap."""
+    from webcrawler_go_spark.operators.textdedup import duplicate_passages
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} totally different ending text"),
+            # doc 3 shares only a 5-token window -> match_len 5 < 8: dropped
+            (3, "the quick brown fox jumps elsewhere entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = duplicate_passages(docs, n=5, min_len=8).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    # shared passage = 12 tokens, starting at token 3 of doc 1, 0 of doc 2
+    assert (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_len) == (1, 2, 3, 0, 12)
+
+    # a GAP splits the run into two islands; each reported separately
+    docs2 = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h X p q r s t u v w"),
+            (2, "a b c d e f g h Y p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    runs2 = sorted(
+        duplicate_passages(docs2, n=5, min_len=8).collect(),
+        key=lambda r: r.a_start,
+    )
+    assert [(r.a_start, r.b_start, r.match_len) for r in runs2] == [(0, 0, 8), (9, 9, 8)]
+
+
+def test_duplicate_passages_hot_gram_cap(spark):
+    """max_gram_occurrences drops boilerplate grams BEFORE the
+    self-join; capped grams can shorten runs, never invent them."""
+    from webcrawler_go_spark.operators.textdedup import duplicate_passages
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words number{i} {boiler}") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    uncapped = duplicate_passages(docs, n=5, min_len=5).count()
+    assert uncapped > 0  # the boilerplate tail matches across all pairs
+    capped = duplicate_passages(
+        docs, n=5, min_len=5, max_gram_occurrences=2
+    ).count()
+    assert capped == 0  # every boilerplate gram occurs in 6 docs > cap
+
+
+def test_tfidf_top_terms_known_values(spark):
+    """Integer-quantized TF-IDF: df=N terms score 0 (ln 1 = 0); a
+    repeated rare term outranks a single rare term; ties break by token
+    ascending."""
+    import math
+
+    from webcrawler_go_spark.operators.textanalysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra zebra apple"),
+            (2, "common banana"),
+            (3, "common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.tfidf_rank): r for r in tfidf_top_terms(docs, k=3).collect()}
+    idf_rare = math.floor(1000 * math.log(3 / 1))
+    assert rows[(1, 1)].token == "zebra" and rows[(1, 1)].score == 2 * idf_rare
+    assert rows[(1, 2)].token == "apple" and rows[(1, 2)].score == idf_rare
+    assert rows[(1, 3)].token == "common" and rows[(1, 3)].score == 0
+    assert rows[(2, 1)].token == "banana"

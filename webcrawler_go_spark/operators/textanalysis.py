@@ -8,7 +8,7 @@ twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Per-language stopword profiles for the whole-word-hit heuristic —
@@ -357,3 +357,49 @@ def pii_scrub(text: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms over whitespace tokens —
+    the classic salient-term extraction for corpus exploration /
+    quality triage.
+
+    Cross-engine determinism: the raw double ``tf·ln(N/df)`` can flip
+    ranks between engines on last-ulp differences, so the idf is
+    quantized FIRST — ``idf_milli = floor(1000·ln(N/df))`` (an exact
+    integer: ln(N/df) is irrational except when df = N, where it is 0
+    in both engines) — and ``score = tf · idf_milli`` is pure integer
+    math. Ties break by token ascending.
+
+    Shape at scale: tf = one shuffle on (doc_id, token); df = one
+    shuffle on token (both map-side-combining HashAggregates); the
+    top-k Window partitions per doc_id (bounded by per-doc vocab). N
+    comes from a scalar count — in a production pipeline a cached
+    corpus statistic.
+
+    Returns (doc_id, token, tfidf_rank, score)."""
+    n_docs = docs.count()
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf_milli = F.floor(
+        F.lit(1000.0) * F.log(F.lit(float(n_docs)) / F.col("df"))
+    ).cast("long")
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * idf_milli).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("tfidf_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("tfidf_rank") <= k)
+        .select("doc_id", "token", "tfidf_rank", "score")
+    )

@@ -275,3 +275,88 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def positional_shingles(
+    docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram) — word n-grams WITH their start position
+    (unlike ``shingles``, which distincts them away): the seed-match
+    table for passage-level dedup."""
+    t = tokenize(docs, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = t.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.col("token"),
+            *[F.lead("token", i).over(w) for i in range(1, n)],
+        ).alias("gram"),
+        F.lead("token", n - 1).over(w).alias("_last"),
+    )
+    return grams.filter(F.col("_last").isNotNull()).drop("_last")
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    n: int = 5,
+    min_len: int = 8,
+    text_col: str = "text",
+    max_gram_occurrences: int | None = None,
+) -> DataFrame:
+    """Exact cross-document duplicate PASSAGES ≥ ``min_len`` tokens —
+    the passage-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better" builds a suffix array; the
+    distributed re-expression is seed-and-extend):
+
+    1. positional word ``n``-grams per doc (seed matches);
+    2. cross-doc seed matches = self-join on the gram with doc_a <
+       doc_b — the ONE corpus-wide shuffle, keyed on the gram exactly
+       like every shingle op here;
+    3. maximal runs via gaps-and-islands: matches between a fixed pair
+       lying on the same DIAGONAL (a_pos − b_pos) with consecutive
+       a_pos belong to one shared passage; island id = a_pos −
+       row_number() (constant iff consecutive), one output row per
+       island with match_len = seeds_in_island + n − 1.
+
+    Returns (doc_a, doc_b, a_start, b_start, match_len), token offsets.
+
+    At 100 TB: ultra-common grams (boilerplate stop-phrases) would fan
+    the self-join quadratically — ``max_gram_occurrences`` drops grams
+    above the cap BEFORE the join (standard hot-key fence, same device
+    as the LSH bucket caps; dropped grams can only split a passage into
+    two reported runs, never invent one). The island Window partitions
+    on (doc_a, doc_b, diag) — bounded by matched-pair output, not
+    corpus size."""
+    grams = positional_shingles(docs, n, text_col)
+    if max_gram_occurrences is not None:
+        ok = (
+            grams.groupBy("gram")
+            .count()
+            .filter(F.col("count") <= max_gram_occurrences)
+            .select("gram")
+        )
+        grams = grams.join(ok, "gram")
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("a_pos"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("b_pos"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "a_pos", "b_pos")
+    )
+    m = m.withColumn("diag", F.col("a_pos") - F.col("b_pos"))
+    w_isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("a_pos")
+    isl = m.withColumn("island", F.col("a_pos") - F.row_number().over(w_isl))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.min("a_pos").alias("a_start"),
+        F.min("b_pos").alias("b_start"),
+        (F.count("*") + F.lit(n - 1)).cast("int").alias("match_len"),
+    )
+    return runs.filter(F.col("match_len") >= min_len).select(
+        "doc_a", "doc_b", "a_start", "b_start", "match_len"
+    )
