@@ -1858,6 +1858,58 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over an SQL-reproducible link graph (lineitem order→part
+    edges mod 1000, self-loops dropped) in integer fixed-point — the
+    frontier-prioritization signal for the crawl's priority queue,
+    bit-exact across engines (see
+    components.pagerank_fixed_point)."""
+    from webcrawler_go_spark.operators.components import pagerank_fixed_point
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") % 1000).alias("src"),
+            (F.col("l_partkey") % 1000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank_fixed_point(li, iterations=3)
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-point PageRank CTE chain — every op integer, so
+    the hash must match the Spark loop exactly."""
+    base = "(SELECT 1000000000000 // n FROM params)"
+    tel = "(SELECT (1000000000000 // n) * 15 // 100 FROM params)"
+    ctes = [
+        """edges AS (
+          SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+          FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000)""",
+        """nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges))""",
+        "params AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, {base} AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT e.dst, SUM(r.rank // d.out_deg) AS s
+              FROM edges e JOIN r{i - 1} r ON r.node = e.src
+              JOIN deg d ON d.src = e.src GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""r{i} AS (SELECT n.node,
+              {tel} + COALESCE(c{i}.s, 0) * 85 // 100 AS rank
+              FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+        )
+    return (
+        "WITH " + ",\n            ".join(ctes)
+        + f"\n            SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled"
+        f" FROM r{iterations}"
+    )
+
+
 def q_streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 late-data semantics at the production OUTPUT shape (round-5;
     complements `streaming_window_agg`'s complete-mode memory-sink demo
@@ -2638,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_append_sink": q_streaming_append_sink,
         "duplicate_passages": q_duplicate_passages,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pagerank": q_pagerank,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -2668,7 +2721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3d) textanalysis.py changed (Unicode word split)
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "pii_scrub": q_pii_scrub,
         "ngram_contamination": q_ngram_contamination,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         # (3e) __spark_entry__ streaming body changed (timeout raise)
@@ -2704,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_normalize": q_text_normalize,
         "sample_stratified": q_sample_stratified,
+        "pii_scrub": q_pii_scrub,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
@@ -3357,6 +3410,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
             FROM (
               SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600 AS win_id FROM events
             ) GROUP BY 1, 2""",
+        "pagerank": _pagerank_oracle_sql(3),
         "duplicate_passages": """
             WITH corpus AS (
               SELECT d.doc_id,

@@ -64,3 +64,32 @@ def test_non_convergence_raises_instead_of_wrong_labels(spark):
         connected_components(
             _edges(spark, [(i, i + 1) for i in range(1, 8)]), max_iter=2
         )
+
+
+def test_pagerank_fixed_point_exact(spark):
+    """Integer fixed-point PageRank: bit-exact vs an independent scalar
+    reference; sink nodes keep only teleport mass; rank order follows
+    in-link structure."""
+    from webcrawler_go_spark.operators.components import pagerank_fixed_point
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r.node: r.pagerank_scaled
+        for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+    SCALE = 10**12
+    n = 4
+    base = SCALE // n
+    tel = base * 15 // 100
+    deg = {1: 2, 2: 1, 3: 1, 4: 1}
+    ranks = {i: base for i in (1, 2, 3, 4)}
+    for _ in range(3):
+        s: dict = {}
+        for a, b in E:
+            s[b] = s.get(b, 0) + ranks[a] // deg[a]
+        ranks = {i: tel + s.get(i, 0) * 85 // 100 for i in (1, 2, 3, 4)}
+    assert got == ranks
+    # node 4 has no in-links: teleport only; 3 has the most in-links: top
+    assert got[4] == tel
+    assert max(got, key=got.get) == 3

@@ -238,6 +238,13 @@ def test_pdf_stream_filters_roundtrip_all():
     rnd = random.Random(7)
     blob = bytes(rnd.randrange(256) for _ in range(8000))
     assert _lzw_decode(_lzw_encode(blob)) == blob
+    # table-FULL regime (round-5 bomb-guard cap): >4096 entries would be
+    # needed — encoder stops adding at 4095, decoder must mirror that
+    # (skip-add, keep decoding) rather than raise or desync
+    big = bytes(rnd.randrange(256) for _ in range(60_000))
+    assert _lzw_decode(_lzw_encode(big)) == big
+    rep = b"abcabdabeabf" * 6_000
+    assert _lzw_decode(_lzw_encode(rep)) == rep
 
     texts = ["mixed filter page", "two (with) escapes \\ fin"]
     for filt in (["RunLengthDecode"], ["ASCIIHexDecode"], ["ASCII85Decode"],

@@ -153,3 +153,62 @@ def canonicalize_closure(
         id_col,
         F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over the crawl link graph — the classic frontier-
+    prioritization signal (what a production crawler feeds the priority
+    queue the north rule names) — in INTEGER fixed-point so every
+    engine computes bit-identical ranks.
+
+    Float PageRank is shuffle-order-dependent (double addition does not
+    associate); here rank is a BIGINT in units of 1/scale: init =
+    scale // N, per-edge contribution = rank // out_degree (integer
+    div), update = teleport + (sum · damping_pct) // 100 with teleport
+    = (scale // N) · (100 − damping_pct) // 100. Every op is exact
+    integer math, so the DuckDB oracle unrolls the same iterations and
+    hash-matches exactly. Dangling-node mass leaks (the standard
+    simplification) — identically on both engines.
+
+    Scale shape: per iteration one edges⋈ranks shuffle-join + one
+    groupBy-sum (both hash-partitioned on node id, map-side combined),
+    same as connected_components; lineage truncated per iteration."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = scale // n
+    teleport = base * (100 - damping_pct) // 100
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select("dst", F.expr("rank div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        prev = ranks
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"coalesce(s, 0L) * {damping_pct} div 100")
+            ).cast("long").alias("rank"),
+        ).localCheckpoint(eager=True)
+        _unpersist_local_checkpoint(prev)
+    return ranks.select("node", F.col("rank").alias("pagerank_scaled"))
