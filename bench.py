@@ -43,6 +43,9 @@ HEADLINE = [
     "lang_id",                  # single-pass tokenize+intersect (was 28 rlike scans)
     "embedding_ivf_topk",       # fully-codegen IVF (no interpreted HOFs)
     "pdf_filters_extract",      # LZW/RLE/AHx/A85 stream-filter round-trip
+    # round-5 additions
+    "duplicate_passages",       # gram-join + diagonal gaps-and-islands
+    "pagerank",                 # integer fixed-point, 3 shuffle-join rounds
 ]
 
 
