@@ -1071,11 +1071,12 @@ def _ivf_topk_oracle_sql(
     )
 
 
-def _crawl_multiround_oracle_sql() -> str:
+def _crawl_multiround_oracle_sql(**cfg_overrides) -> str:
     """Golden VALUES oracle for the full engine run (the head_probe
     pattern): per-host (fetched, bytes) computed by the SEQUENTIAL
     reference crawl over the same world/config — an independent
-    implementation with zero Spark."""
+    implementation with zero Spark. ``cfg_overrides`` parameterize the
+    CrawlConfig (e.g. render_links=True for the capture-mode row)."""
     from webcrawler_go_spark import worldgen
     from webcrawler_go_spark.config import CrawlConfig
     from webcrawler_go_spark.oracle import sequential
@@ -1083,7 +1084,7 @@ def _crawl_multiround_oracle_sql() -> str:
     from webcrawler_go_spark.worldgen import seeds as gen_seeds
 
     world = World(n_hosts=6, pages_per_host=30)
-    cfg = CrawlConfig(max_rounds=3, default_host_budget=8)
+    cfg = CrawlConfig(max_rounds=3, default_host_budget=8, **cfg_overrides)
     res = sequential.crawl(world, gen_seeds(world, 3), cfg, max_rounds=3)
     per_host: dict[str, list[int]] = {}
     for e in res.fetch_log:
@@ -1230,6 +1231,38 @@ def q_resume_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng2.resume(max_rounds=3)
     return (
         eng2.fetch_log()
+        .groupBy("host")
+        .agg(F.count("*").alias("fetched"), F.sum("bytes").alias("bytes"))
+    )
+
+
+def q_capture_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/X3 IN THE LOOP (capture mode, pdfcapture.go:440-467): the full
+    engine run with cfg.render_links — rendered-DOM links join the
+    frontier after each page's static links and compete for the same
+    politeness budget. Oracle: the sequential golden crawl with the
+    same flag, so any divergence in render ordering, same-domain
+    enforcement, or budget interaction hash-fails. The finer parity
+    gate (seen set, per-host order, /js/ reachability) runs in
+    tests/test_crawl_parity.py::test_capture_mode_rendered_links_parity."""
+    import tempfile
+
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=3, default_host_budget=8, render_links=True)
+    state = tempfile.mkdtemp(prefix="q-capture-")
+    eng = CrawlEngine(spark, cfg, state, world=world)
+    eng.run(
+        spark.createDataFrame(
+            gen_seeds(world, 3), "url string, priority double, seq int"
+        ),
+        max_rounds=3,
+    )
+    return (
+        eng.fetch_log()
         .groupBy("host")
         .agg(F.count("*").alias("fetched"), F.sum("bytes").alias("bytes"))
     )
@@ -2685,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (1) new this round
         "streaming_crawl": q_streaming_crawl,
+        "capture_crawl": q_capture_crawl,
         "rendered_dom_source": q_rendered_dom_source,
         "extract_links_rendered": q_extract_links_rendered,
         "streaming_append_sink": q_streaming_append_sink,
@@ -2721,7 +2755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3d) textanalysis.py changed (Unicode word split)
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
-        "ngram_contamination": q_ngram_contamination,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         # (3e) __spark_entry__ streaming body changed (timeout raise)
         "streaming_window_agg": q_streaming_window_agg,
@@ -2748,15 +2781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_dispatch": q_content_type_dispatch,
         # ---- position 50 boundary: everything below holds a green
         # ---- r4 row (or an r3 row ≤2 rounds old) on code byte-unchanged.
-        # text_repetition/text_normalize/sample_stratified sit first:
-        # textanalysis.py changed this round but ONLY in the
-        # word_tokens/stopword region (+ the appended tfidf operator),
-        # which these three do not call (function bodies byte-identical
-        # — the module-changed rows the 50 slots could not fit).
+        # text_repetition/text_normalize/sample_stratified/pii_scrub/
+        # ngram_contamination sit first: textanalysis.py changed this
+        # round but ONLY in the word_tokens/stopword region (+ the
+        # appended tfidf operator), which these five do not call
+        # (function bodies byte-identical — the module-changed rows the
+        # 50 slots could not fit).
         "text_repetition": q_text_repetition,
         "text_normalize": q_text_normalize,
         "sample_stratified": q_sample_stratified,
         "pii_scrub": q_pii_scrub,
+        "ngram_contamination": q_ngram_contamination,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_error_rate": q_events_error_rate,
@@ -3123,6 +3158,9 @@ def oracle_sql() -> dict[str, str]:
         # the STREAMING-hosted loop must equal the batch engine and the
         # sequential golden crawl — identical oracle
         "streaming_crawl": _crawl_multiround_oracle_sql(),
+        # capture mode: rendered links in the loop, same golden-crawl
+        # oracle machinery with the flag set
+        "capture_crawl": _crawl_multiround_oracle_sql(render_links=True),
         "rendered_dom_source": _rendered_dom_oracle_sql(),
         "extract_links_rendered": _extract_links_rendered_oracle_sql(),
         "redirect_chain": """

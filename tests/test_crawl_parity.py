@@ -156,3 +156,33 @@ def test_salted_rank_equals_unsalted(spark):
     a = {(r.url_norm, r.host_rank) for r in rank_per_host(df).collect()}
     b = {(r.url_norm, r.host_rank) for r in rank_per_host_salted(df, n_salts=4).collect()}
     assert a == b
+
+
+def test_capture_mode_rendered_links_parity(spark, state_dir):
+    """Capture mode (cfg.render_links): rendered-DOM links join the
+    frontier ordered after each page's static links (pdfcapture.go:
+    440-467) — the engine must reproduce the sequential oracle's seen
+    set AND per-host order exactly, and must have crawled /js/ pages
+    that only the renderer reveals."""
+    world = World(n_hosts=5, pages_per_host=25)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=9, render_links=True)
+    seeds = gen_seeds(world, 3)
+    eng = CrawlEngine(spark, cfg, state_dir, world=world)
+    eng.run(
+        spark.createDataFrame(seeds, "url string, priority double, seq int"),
+        max_rounds=4,
+    )
+    oracle = sequential.crawl(world, seeds, cfg, max_rounds=4)
+    eng_seen = {r.url_norm for r in eng.url_seen().collect()}
+    assert eng_seen == oracle.seen
+    seqs = {r["host"]: r["fetch_sequence"] for r in eng.per_host_sequences().collect()}
+    assert seqs == oracle.sequences
+    # JS-revealed pages were actually crawled...
+    assert any("/js/" in u for u in eng_seen)
+    # ...and the render flag changes the crawl (rendered links COMPETE
+    # for the same per-host budget, so the sets differ — not a superset)
+    static = sequential.crawl(
+        world, seeds, CrawlConfig(max_rounds=4, default_host_budget=9), max_rounds=4
+    )
+    assert oracle.seen != static.seen
+    assert not any("/js/" in u for u in static.seen)

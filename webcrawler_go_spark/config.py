@@ -26,5 +26,8 @@ class CrawlConfig:
     max_rounds: int = 10               # batch-iterative loop bound (engine-side)
     default_host_budget: int = 20      # per-host fetches per round (W2)
     same_host_only: bool = True        # crawler.go:984-987
+    # capture-mode rendered-DOM links feed the frontier (pdfcapture.go:
+    # 440-467); rendered links are same-DOMAIN unconditionally there
+    render_links: bool = False
     bloom_fpp: float = 0.01
     extra: dict = field(default_factory=dict, hash=False, compare=False)

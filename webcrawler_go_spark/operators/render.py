@@ -121,3 +121,86 @@ def extract_links_rendered(
     if path_filter:
         ex = ex.filter(url_path(F.col("link")).startswith(path_filter))
     return ex.select("found_on", "link", "link_pos")
+
+
+from webcrawler_go_spark.worldgen import RENDER_LINK_POS_BASE  # noqa: E402
+
+
+def rendered_frontier_candidates(
+    fetched: DataFrame,
+    world: World,
+    path_filter: str = "",
+    ignore_query: bool = False,
+) -> DataFrame:
+    """Capture-mode frontier extension (pdfcapture.go:440-467 as a crawl
+    step): render the round's successful pages and turn their rendered
+    links into frontier candidate rows, schema-identical to
+    ``extract.next_frontier_candidates`` output so the engine simply
+    unions them in.
+
+    Semantics mirrored from the reference's rendered crawl: links are
+    same-DOMAIN unconditionally (pdfcapture.go:455-458 — even when the
+    static crawl is configured cross-host), path-prefix honored, and
+    crawl order places rendered links AFTER the page's static links via
+    link_pos = RENDER_LINK_POS_BASE + document-order index. The
+    renderer returns '' for non-HTML pages, so no content-type
+    pre-filter is needed."""
+    from webcrawler_go_spark.functions.urls import canonicalize_cols
+
+    pages = fetched.filter(
+        (F.col("status") == 200)
+        & F.col("error_class").isNull()
+        & (~F.col("blocked"))
+    ).select(F.col("url").alias("url_norm"), "host", "seq", "round")
+    links = extract_links_rendered(render_frontier(pages, world))
+    links = links.join(
+        pages.select(
+            F.col("url_norm").alias("found_on"),
+            F.col("host").alias("parent_host"),
+            F.col("seq").alias("parent_seq"),
+            F.col("round").alias("parent_round"),
+        ),
+        "found_on",
+    ).select(
+        F.col("link").alias("href"),
+        "parent_host",
+        "parent_round",
+        "parent_seq",
+        (F.lit(RENDER_LINK_POS_BASE) + F.col("link_pos")).alias("link_pos"),
+    )
+    # same raw-pair collapse as the static path: min crawl-order key per
+    # (href, parent_host) before canonicalization
+    links = (
+        links.groupBy("href", "parent_host")
+        .agg(
+            F.min(F.struct("parent_round", "parent_seq", "link_pos")).alias("_k")
+        )
+        .select(
+            "href",
+            "parent_host",
+            F.col("_k.parent_round").alias("parent_round"),
+            F.col("_k.parent_seq").alias("parent_seq"),
+            F.col("_k.link_pos").alias("link_pos"),
+        )
+    )
+    parts = canonicalize_cols(F.col("href"), ignore_query=ignore_query)
+    links = links.select(
+        "*",
+        parts["url_norm"].alias("url_norm"),
+        parts["host"].alias("host"),
+        parts["path"].alias("path"),
+    )
+    if path_filter:
+        links = links.filter(F.col("path").startswith(path_filter))
+    return links.select(
+        F.col("href").alias("url"),
+        "url_norm",
+        F.xxhash64("url_norm").alias("url_hash"),
+        "host",
+        "path",
+        (F.col("parent_round") + 1).alias("round"),
+        "parent_seq",
+        "link_pos",
+        F.lit(0).alias("attempts"),
+        (F.col("parent_round") + 1).alias("not_before_round"),
+    )

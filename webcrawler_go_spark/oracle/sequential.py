@@ -191,5 +191,32 @@ def crawl(
                     }
                 )
                 pos += 1
+            if getattr(cfg, "render_links", False):
+                # capture mode: rendered-DOM links after the static ones
+                # (pdfcapture.go:440-467) — same-DOMAIN unconditionally,
+                # TrimSpace + skip-empty, path filter; link_pos =
+                # RENDER_LINK_POS_BASE + pre-filter document-order index
+                from webcrawler_go_spark.worldgen import RENDER_LINK_POS_BASE
+
+                raw = worldgen.rendered_links_raw(world, url)
+                for rpos, entry in enumerate(raw.split("\n")):
+                    href = entry.strip()
+                    if not href or _host_of(href) != f["host"]:
+                        continue
+                    if cfg.path_filter:
+                        path = "/" + href.split("://", 1)[1].split("/", 1)[1] \
+                            if "/" in href.split("://", 1)[1] else "/"
+                        if not path.startswith(cfg.path_filter):
+                            continue
+                    children.append(
+                        {
+                            "url": href,
+                            "round": r + 1,
+                            "parent_seq": f["seq"],
+                            "link_pos": RENDER_LINK_POS_BASE + rpos,
+                            "attempts": 0,
+                            "not_before_round": r + 1,
+                        }
+                    )
         frontier = children + deferred + requeued + overflow
     return res

@@ -299,6 +299,21 @@ class CrawlEngine:
             path_filter=cfg.path_filter,
             ignore_query=cfg.ignore_query_params,
         )
+        if cfg.render_links:
+            # capture mode (pdfcapture.go:440-467): rendered-DOM links
+            # join the frontier, ordered after the page's static links
+            from webcrawler_go_spark.operators.render import (
+                rendered_frontier_candidates,
+            )
+
+            candidates = candidates.unionByName(
+                rendered_frontier_candidates(
+                    fetched,
+                    self.world,
+                    path_filter=cfg.path_filter,
+                    ignore_query=cfg.ignore_query_params,
+                )
+            )
         # collapse duplicate discoveries and drop already-seen URLs BEFORE
         # the frontier commit: raw extraction yields ~links-per-page × the
         # round size (measured ~30× the surviving rows), and next round's

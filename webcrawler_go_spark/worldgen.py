@@ -185,6 +185,12 @@ def outlinks_of(world: World, url: str) -> list[str]:
     return links
 
 
+# capture-mode crawl order: rendered links sort AFTER every static link
+# of the same parent (static link_pos is bounded by the page's span
+# count) — shared by the Spark engine and the sequential parity oracle
+RENDER_LINK_POS_BASE = 1 << 20
+
+
 def rendered_dom_hrefs(world: World, url: str) -> list[str]:
     """Raw ``a[href]`` values of the page's post-JS DOM — the
     deterministic fake renderer (same honest-stub policy as the video
