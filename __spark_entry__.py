@@ -1549,6 +1549,109 @@ def q_media_cmyk_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_tiff_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 CONTAINER closure, TIFF side (pdfcapture.go:759-790:
+    ``convertToCMYKTIFF`` shells to ImageMagick ``convert -colorspace
+    CMYK -compress LZW``). Per customer row: deterministic RGB pixels →
+    `rgb_to_cmyk` → a REAL baseline TIFF 6.0 file (Photometric 5
+    Separated + InkSet CMYK, per-strip TIFF-LZW, Predictor 2 on odd
+    keys, k%3+1 rows/strip so multi-strip paths run) → re-parsed by the
+    independent reader. Emits the container's structural fields, the
+    per-channel ink sums computed FROM THE DECODED PIXELS, and a
+    byte-equality round-trip flag — all closed-form for the SQL oracle.
+    Embarrassingly parallel (one mapInPandas, no shuffle)."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+
+    def kernel(batches):
+        from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk
+        from webcrawler_go_spark.functions.media_containers import (
+            decode_tiff,
+            encode_tiff_cmyk,
+        )
+
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                w, h = k % 8 + 2, k % 5 + 2
+                rgb = bytes((k * 31 + j * 7) % 256 for j in range(w * h * 3))
+                cmyk = rgb_to_cmyk(rgb)
+                blob = encode_tiff_cmyk(
+                    cmyk, w, h, compression="lzw",
+                    predictor=1 + k % 2, rows_per_strip=k % 3 + 1,
+                )
+                d = decode_tiff(blob)
+                px = d["pixels"]
+                rows.append((
+                    k, d["width"], d["height"], d["photometric"],
+                    d["compression"], d["predictor"], d["inkset"],
+                    d["n_strips"], px == cmyk,
+                    sum(px[0::4]), sum(px[1::4]), sum(px[2::4]), sum(px[3::4]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "k", "width", "height", "photometric", "compression",
+                "predictor", "inkset", "n_strips", "tiff_ok",
+                "c_sum", "m_sum", "y_sum", "k_sum",
+            ])
+
+    return c.mapInPandas(
+        kernel,
+        "k long, width int, height int, photometric int, compression int, "
+        "predictor int, inkset int, n_strips int, tiff_ok boolean, "
+        "c_sum long, m_sum long, y_sum long, k_sum long",
+    )
+
+
+def q_media_pdf_cmyk_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 CONTAINER closure, PDF side (pdfcapture.go:731-757:
+    ``convertToCMYKPDF`` shells to Ghostscript ``pdfwrite`` with
+    ``-dProcessColorModel=/DeviceCMYK``). Per customer row: RGB →
+    `rgb_to_cmyk` → a valid single-page PDF embedding the pixels as a
+    /DeviceCMYK /FlateDecode Image XObject with byte-accurate xref →
+    re-extracted by the un-wrapper. Same oracle pattern as the TIFF
+    twin; the ICC OutputIntent of full PDF/X stays out of scope (no
+    profile data in the sandbox), documented in SURVEY §2.1."""
+    import pandas as pd
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+
+    def kernel(batches):
+        from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk
+        from webcrawler_go_spark.functions.media_containers import (
+            unwrap_pdf_cmyk,
+            wrap_pdf_cmyk,
+        )
+
+        for b in batches:
+            rows = []
+            for k in b["k"]:
+                k = int(k)
+                w, h = k % 8 + 2, k % 5 + 2
+                rgb = bytes((k * 31 + j * 7) % 256 for j in range(w * h * 3))
+                cmyk = rgb_to_cmyk(rgb)
+                u = unwrap_pdf_cmyk(wrap_pdf_cmyk(cmyk, w, h))
+                px = u["pixels"]
+                rows.append((
+                    k, u["width"], u["height"], u["colorspace"], u["filter"],
+                    u["bits_per_component"], u["n_objects"], px == cmyk,
+                    sum(px[0::4]), sum(px[1::4]), sum(px[2::4]), sum(px[3::4]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "k", "width", "height", "colorspace", "pdf_filter",
+                "bits", "n_objects", "pdf_ok",
+                "c_sum", "m_sum", "y_sum", "k_sum",
+            ])
+
+    return c.mapInPandas(
+        kernel,
+        "k long, width int, height int, colorspace string, pdf_filter string, "
+        "bits int, n_objects int, pdf_ok boolean, "
+        "c_sum long, m_sum long, y_sum long, k_sum long",
+    )
+
+
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: synthesize 8-bit PCM WAV bytes per row and
     decode with the stdlib ``wave`` RIFF parser; emit header fields plus
@@ -2482,6 +2585,41 @@ FROM documents
 """
 
 
+# pixel generator + naive-GCR CMYK math + per-channel ink sums, shared by
+# the three S10 oracles (media_cmyk_transform and the two container twins):
+# pixel p of customer k has r,g,b = v(3p),v(3p+1),v(3p+2), v(j)=(k*31+j*7)%256;
+# K = 255-max, X' = round-half-up(255*(255-X-K)/(255-K)) (0 when K=255)
+_CMYK_SUMS_SQL = """
+px AS (
+  SELECT k,
+         (k * 31 + (3 * u.p) * 7) % 256 AS r,
+         (k * 31 + (3 * u.p + 1) * 7) % 256 AS g,
+         (k * 31 + (3 * u.p + 2) * 7) % 256 AS b
+  FROM (SELECT c_custkey AS k FROM customer) t,
+       unnest(generate_series(0, (k % 8 + 2) * (k % 5 + 2) - 1)) AS u(p)
+),
+cmyk AS (
+  SELECT k,
+         CASE WHEN kk = 255 THEN 0
+              ELSE (510 * (255 - r - kk) + (255 - kk)) // (510 - 2 * kk) END AS c,
+         CASE WHEN kk = 255 THEN 0
+              ELSE (510 * (255 - g - kk) + (255 - kk)) // (510 - 2 * kk) END AS m,
+         CASE WHEN kk = 255 THEN 0
+              ELSE (510 * (255 - b - kk) + (255 - kk)) // (510 - 2 * kk) END AS y,
+         kk
+  FROM (SELECT *, 255 - GREATEST(r, g, b) AS kk FROM px)
+),
+sums AS (
+  SELECT k,
+         CAST(SUM(c) AS BIGINT) AS c_sum,
+         CAST(SUM(m) AS BIGINT) AS m_sum,
+         CAST(SUM(y) AS BIGINT) AS y_sum,
+         CAST(SUM(kk) AS BIGINT) AS k_sum
+  FROM cmyk GROUP BY k
+)
+"""
+
+
 _QEMB_SQL = """
 qa AS (
   SELECT vec_id, CAST(u.i AS INT) AS ord,
@@ -2725,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_passages": q_duplicate_passages,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pagerank": q_pagerank,
+        "media_tiff_container": q_media_tiff_container,
+        "media_pdf_cmyk_wrap": q_media_pdf_cmyk_wrap,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -3209,34 +3349,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT c_custkey AS k FROM customer) t,
                  unnest(generate_series(0, (k % 8 + 2) * (k % 5 + 2) * 3 - 1)) AS u(j)
             GROUP BY k""",
-        "media_cmyk_transform": """
-            -- pixel p has r,g,b = v(3p), v(3p+1), v(3p+2), v(j) = (k*31+j*7)%256;
-            -- K = 255-max, X' = round-half-up(255*(255-X-K)/(255-K)) (0 when K=255)
-            WITH px AS (
-              SELECT k,
-                     (k * 31 + (3 * u.p) * 7) % 256 AS r,
-                     (k * 31 + (3 * u.p + 1) * 7) % 256 AS g,
-                     (k * 31 + (3 * u.p + 2) * 7) % 256 AS b
-              FROM (SELECT c_custkey AS k FROM customer) t,
-                   unnest(generate_series(0, (k % 8 + 2) * (k % 5 + 2) - 1)) AS u(p)
-            ),
-            cmyk AS (
-              SELECT k,
-                     CASE WHEN kk = 255 THEN 0
-                          ELSE (510 * (255 - r - kk) + (255 - kk)) // (510 - 2 * kk) END AS c,
-                     CASE WHEN kk = 255 THEN 0
-                          ELSE (510 * (255 - g - kk) + (255 - kk)) // (510 - 2 * kk) END AS m,
-                     CASE WHEN kk = 255 THEN 0
-                          ELSE (510 * (255 - b - kk) + (255 - kk)) // (510 - 2 * kk) END AS y,
-                     kk
-              FROM (SELECT *, 255 - GREATEST(r, g, b) AS kk FROM px)
-            )
+        "media_cmyk_transform": f"""
+            WITH {_CMYK_SUMS_SQL}
+            SELECT k, c_sum, m_sum, y_sum, k_sum FROM sums""",
+        "media_tiff_container": f"""
+            -- structural fields are fixed by the writer's parameters
+            -- (Photometric 5 Separated, InkSet 1 CMYK, LZW=5, Predictor
+            -- 1+k%2, ceil(h/(k%3+1)) strips); ink sums come from the
+            -- shared CMYK pixel math; tiff_ok is the in-kernel byte
+            -- round-trip through the real container
+            WITH {_CMYK_SUMS_SQL}
             SELECT k,
-                   CAST(SUM(c) AS BIGINT) AS c_sum,
-                   CAST(SUM(m) AS BIGINT) AS m_sum,
-                   CAST(SUM(y) AS BIGINT) AS y_sum,
-                   CAST(SUM(kk) AS BIGINT) AS k_sum
-            FROM cmyk GROUP BY k""",
+                   CAST(k % 8 + 2 AS INT) AS width,
+                   CAST(k % 5 + 2 AS INT) AS height,
+                   CAST(5 AS INT) AS photometric,
+                   CAST(5 AS INT) AS compression,
+                   CAST(1 + k % 2 AS INT) AS predictor,
+                   CAST(1 AS INT) AS inkset,
+                   CAST((k % 5 + 2 + k % 3) // (k % 3 + 1) AS INT) AS n_strips,
+                   TRUE AS tiff_ok,
+                   c_sum, m_sum, y_sum, k_sum
+            FROM sums""",
+        "media_pdf_cmyk_wrap": f"""
+            WITH {_CMYK_SUMS_SQL}
+            SELECT k,
+                   CAST(k % 8 + 2 AS INT) AS width,
+                   CAST(k % 5 + 2 AS INT) AS height,
+                   'DeviceCMYK' AS colorspace,
+                   'FlateDecode' AS pdf_filter,
+                   CAST(8 AS INT) AS bits,
+                   CAST(5 AS INT) AS n_objects,
+                   TRUE AS pdf_ok,
+                   c_sum, m_sum, y_sum, k_sum
+            FROM sums""",
         "media_decode_wav": """
             SELECT k,
                    CAST(8000 AS INT) AS sample_rate,
