@@ -1406,6 +1406,18 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_quantized(emb, threshold=0.2, scale=1000)
 
 
+def q_embedding_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine at the SCALE-CORRECT shape: block-packed
+    vectors, arithmetic tile index (no cartesian), one exact int64 GEMM
+    per tile, O(n·m)-row shuffle. Same oracle as the O(n²)-labeled
+    `embedding_cosine_pairs` baseline — the contract is byte-identical
+    output from a different physical strategy (threshold 0.2)."""
+    from webcrawler_go_spark.operators.similarity import cosine_pairs_tiled
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_tiled(emb, threshold=0.2, scale=1000, n_blocks=8)
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN near-pairs via banded multi-table LSH at the LARGE-CORPUS
     operating point (B=8 tables × K=10 bits vs the banded query's 4×8):
@@ -2630,6 +2642,22 @@ n2 AS (SELECT vec_id, SUM(qx * qx) AS n2 FROM qa GROUP BY vec_id)
 """
 
 
+# shared by embedding_cosine_pairs (row-pair baseline) and
+# embedding_cosine_tiled (block-GEMM strategy) — the two queries'
+# contract is identical output
+_COSINE_PAIRS_ORACLE_SQL = f"""
+    WITH {_QEMB_SQL.strip()},
+    dots AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
+      FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+    FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
+    WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2"""
+
+
 def _banded_cte_parts(n_tables: int, bits_per_table: int) -> tuple[str, str]:
     """(signs, per_table) SQL fragments for the banded multi-table LSH
     bucketing — the single source of truth mirrored against
@@ -2865,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "media_tiff_container": q_media_tiff_container,
         "media_pdf_cmyk_wrap": q_media_pdf_cmyk_wrap,
+        "embedding_cosine_tiled": q_embedding_cosine_tiled,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -3276,17 +3305,9 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(url_norm, '|'
                      ORDER BY round, parent_seq, link_pos, url_norm) AS fetch_sequence
             FROM frontier GROUP BY host""",
-        "embedding_cosine_pairs": f"""
-            WITH {_QEMB_SQL.strip()},
-            dots AS (
-              SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.qx * b.qx) AS dot
-              FROM qa a JOIN qa b ON a.ord = b.ord AND a.vec_id < b.vec_id
-              GROUP BY 1, 2
-            )
-            SELECT a, b,
-                   ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
-            FROM dots JOIN n2 na ON na.vec_id = a JOIN n2 nb ON nb.vec_id = b
-            WHERE ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.2""",
+        "embedding_cosine_pairs": _COSINE_PAIRS_ORACLE_SQL,
+        # tiled GEMM strategy must reproduce the row-pair baseline exactly
+        "embedding_cosine_tiled": _COSINE_PAIRS_ORACLE_SQL,
         "embedding_ann_lsh": _ann_banded_oracle_sql(8, 10, 0.15),
         "embedding_ann_lsh_banded": _ann_banded_oracle_sql(4, 8, 0.15),
         "embedding_ann_topk": _ann_topk_oracle_sql(4, 8, 5, 8),

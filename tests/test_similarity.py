@@ -9,6 +9,7 @@ from webcrawler_go_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
     cosine_pairs_quantized,
+    cosine_pairs_tiled,
     lsh_candidate_pairs,
 )
 
@@ -258,3 +259,46 @@ def test_banded_lsh_recall_precision_vs_exact_sf001():
         assert lsh <= exact, "verified candidates can never be false positives"
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.4, f"B={n_tables} K={bits} recall {recall:.2f}"
+
+
+def test_tiled_equals_baseline_every_block_count(spark):
+    """The tile decomposition must reproduce the row-pair baseline
+    EXACTLY for any n_blocks — including m=1 (one diagonal tile), m
+    larger than n (mostly empty blocks), and m where every unordered
+    block pair {blk(x), blk(y)} is exercised on- and off-diagonal."""
+    base = {
+        tuple(r)
+        for r in cosine_pairs_quantized(_emb(spark), threshold=-1.1).collect()
+    }
+    assert len(base) == 10  # all 5C2 pairs at threshold below -1
+    for m in (1, 2, 3, 7):
+        tiled = {
+            tuple(r)
+            for r in cosine_pairs_tiled(
+                _emb(spark), threshold=-1.1, n_blocks=m
+            ).collect()
+        }
+        assert tiled == base, f"n_blocks={m}"
+
+
+def test_tiled_equals_baseline_sf0001():
+    from webcrawler_go_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {tuple(r) for r in cosine_pairs_quantized(emb, threshold=0.2).collect()}
+    tiled = {
+        tuple(r) for r in cosine_pairs_tiled(emb, threshold=0.2, n_blocks=8).collect()
+    }
+    assert tiled == base and len(base) > 1000
+
+
+def test_tiled_plan_has_no_cartesian(spark):
+    """The tile index is arithmetic (range + filter) and the block
+    joins are equi-joins — no CartesianProduct / nested-loop node may
+    appear anywhere in the physical plan."""
+    plan = cosine_pairs_tiled(
+        _emb(spark), threshold=0.5, n_blocks=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

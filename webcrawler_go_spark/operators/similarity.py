@@ -154,6 +154,109 @@ def cosine_pairs_quantized(
     )
 
 
+def cosine_pairs_tiled(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    scale: int = 1000,
+    n_blocks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — IDENTICAL result set to
+    ``cosine_pairs_quantized`` (same quantization, same rounding), but
+    the scale-correct physical strategy:
+
+    * vectors are hashed into ``m = n_blocks`` blocks and each block is
+      packed into ONE row (ids + quantized matrix + squared norms);
+    * the m(m+1)/2 upper-triangle TILE index is generated arithmetically
+      from ``spark.range(m²)`` (pure codegen — no cartesian, no
+      nested-loop join) and equi-joined twice against the packed blocks,
+      so each block row is shuffled ~m/2 times: total shuffle O(n·m)
+      rows instead of the row-pair join's O(n²);
+    * each tile computes ALL its k_a×k_b dots with ONE exact int64
+      numpy GEMM inside mapInPandas (Arrow batch), emitting only pairs
+      above a loose raw prefilter; the authoritative threshold is then
+      applied JVM-side on ``F.round(…, 6)`` so the engine/oracle
+      contract is byte-identical to the baseline's.
+
+    Every unordered pair {x, y} lands in exactly one tile — the
+    unordered block pair {blk(x), blk(y)}; diagonal tiles keep the
+    strict upper triangle by id. Exact all-pairs is inherently O(n²)
+    compute — at 10^9 vectors the LSH family is the answer — but where
+    exact is affordable (10^6–10^7 rows) this shape does it at GEMM
+    arithmetic intensity with bounded tile memory, instead of the
+    baseline's per-row-pair evaluation (`cosine_pairs_quantized` stays
+    as the O(n²)-labeled reference oracle for small inputs)."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    m = n_blocks
+    q = emb.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q")
+    )
+    q = q.withColumn("n2", _qdot_pandas(F.col("q"), F.col("q")))
+    blocks = (
+        q.withColumn("blk", F.pmod(F.col("id"), m))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "q", "n2")).alias("rows"))
+    )
+    tiles = (
+        spark.range(m * m)
+        .select(
+            (F.col("id") / m).cast("long").alias("blk_a"),
+            F.pmod(F.col("id"), m).alias("blk_b"),
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+    )
+    paired = (
+        tiles.join(blocks.select(F.col("blk").alias("blk_a"),
+                                 F.col("rows").alias("rows_a")), "blk_a")
+        .join(blocks.select(F.col("blk").alias("blk_b"),
+                            F.col("rows").alias("rows_b")), "blk_b")
+    )
+    # loose raw prefilter: round-half-up to 6 decimals can lift a raw
+    # cosine by at most 5e-7 across the threshold
+    pre = threshold - 1e-6
+
+    def kernel(batches):
+        import numpy as np
+
+        for b in batches:
+            out_a, out_b, out_c = [], [], []
+            for rows_a, rows_b, diag in zip(
+                b["rows_a"], b["rows_b"], b["blk_a"] == b["blk_b"]
+            ):
+                ids_a = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                qa = np.array([r["q"] for r in rows_a], dtype=np.int64)
+                qb = np.array([r["q"] for r in rows_b], dtype=np.int64)
+                na = np.sqrt(np.array([r["n2"] for r in rows_a], dtype=np.float64))
+                nb = np.sqrt(np.array([r["n2"] for r in rows_b], dtype=np.float64))
+                dots = qa @ qb.T                       # exact int64 GEMM
+                cos = dots / (na[:, None] * nb[None, :])
+                mask = cos >= pre
+                # strict upper triangle by id — diagonal tiles compare
+                # within one block, off-diagonal pairs get (min, max)
+                mask &= ids_a[:, None] < ids_b[None, :]
+                if not diag:
+                    lo = ids_a[:, None] > ids_b[None, :]
+                    swapped = (cos >= pre) & lo
+                    ii, jj = np.nonzero(swapped)
+                    out_a.extend(ids_b[jj]); out_b.extend(ids_a[ii])
+                    out_c.extend(cos[ii, jj])
+                ii, jj = np.nonzero(mask)
+                out_a.extend(ids_a[ii]); out_b.extend(ids_b[jj])
+                out_c.extend(cos[ii, jj])
+            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine_raw": out_c})
+
+    raw = paired.mapInPandas(kernel, "a long, b long, cosine_raw double")
+    return (
+        raw.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
