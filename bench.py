@@ -46,6 +46,8 @@ HEADLINE = [
     # round-5 additions
     "duplicate_passages",       # gram-join + diagonal gaps-and-islands
     "pagerank",                 # integer fixed-point, 3 shuffle-join rounds
+    "embedding_cosine_tiled",   # exact all-pairs via block tile GEMM
+    "media_tiff_container",     # S10 TIFF wrapper round-trip per row
 ]
 
 
