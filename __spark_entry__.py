@@ -2136,6 +2136,20 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk, capacity 256): every
+    document's whitespace tokens laid end-to-end in doc_id order, cut
+    into fixed-size context windows, docs spanning a boundary split —
+    one row per (doc × overlapped sequence) with both within-sequence
+    and within-doc token spans. Global token offsets via the two-phase
+    range-partitioned cumsum (no single-partition Window); oracle = the
+    identical window cumsum + generate_series chunk overlap in SQL."""
+    from webcrawler_go_spark.operators.textanalysis import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, capacity=256)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation: canonical text form before dedup (lowercase, control
     chars stripped, whitespace collapsed, trimmed) — pure Catalyst."""
@@ -2894,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff_container": q_media_tiff_container,
         "media_pdf_cmyk_wrap": q_media_pdf_cmyk_wrap,
         "embedding_cosine_tiled": q_embedding_cosine_tiled,
+        "pack_sequences": q_pack_sequences,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -3535,6 +3550,31 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents""",
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id) AS tok_end
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_tokens, tok_end, tok_end - n_tokens AS tok_start
+              FROM c WHERE n_tokens > 0
+            )
+            SELECT doc_id,
+                   CAST(u.sq AS BIGINT) AS seq_id,
+                   CAST(GREATEST(tok_start, u.sq * 256) - u.sq * 256 AS BIGINT) AS seq_tok_start,
+                   CAST(LEAST(tok_end, (u.sq + 1) * 256) - u.sq * 256 AS BIGINT) AS seq_tok_end,
+                   CAST(GREATEST(tok_start, u.sq * 256) - tok_start AS BIGINT) AS doc_tok_start,
+                   CAST(LEAST(tok_end, (u.sq + 1) * 256) - tok_start AS BIGINT) AS doc_tok_end,
+                   n_tokens
+            FROM s, unnest(generate_series(CAST(tok_start // 256 AS BIGINT),
+                                           CAST((tok_end - 1) // 256 AS BIGINT))) AS u(sq)""",
         "text_normalize": r"""
             SELECT doc_id,
                    lower(trim(regexp_replace(

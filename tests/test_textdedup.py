@@ -299,3 +299,81 @@ def test_tfidf_top_terms_known_values(spark):
     assert rows[(1, 2)].token == "apple" and rows[(1, 2)].score == idf_rare
     assert rows[(1, 3)].token == "common" and rows[(1, 3)].score == 0
     assert rows[(2, 1)].token == "banana"
+
+
+def test_global_cumsum_equals_single_partition_window(spark):
+    """Two-phase range-partitioned cumsum ≡ the single-partition Window
+    it replaces, on a key-skewed input."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.rank import global_cumsum
+
+    rows = [(i, (i * 37 + 11) % 97) for i in range(997)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, ["k"], "v", out_col="cum", n_parts=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: (a) every doc's spans tile [0,
+    n_tokens) exactly; (b) every sequence except the last is filled to
+    capacity with non-overlapping spans; (c) boundary-spanning docs are
+    split, zero-token docs absent."""
+    from webcrawler_go_spark.operators.textanalysis import pack_sequences
+
+    docs = [
+        (1, "a b c"),                     # 3 tokens
+        (2, " ".join(["t"] * 7)),         # 7 -> spans the cap-8 boundary
+        (3, ""),                          # zero tokens: no rows
+        (4, " ".join(["u"] * 20)),        # 20 -> spans 3 sequences
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, capacity=8).collect()
+    assert not any(r.doc_id == 3 for r in out)
+    # (a) per-doc tiling
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.doc_tok_start)
+        assert rs[0].doc_tok_start == 0
+        assert rs[-1].doc_tok_end == rs[0].n_tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a.doc_tok_end == b.doc_tok_start
+    # total = 3+7+20+1 = 31 tokens -> seqs 0..3, last partially filled
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    assert sorted(by_seq) == [0, 1, 2, 3]
+    for s, rs in by_seq.items():
+        rs.sort(key=lambda r: r.seq_tok_start)
+        assert rs[0].seq_tok_start == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.seq_tok_end == b.seq_tok_start
+        assert rs[-1].seq_tok_end == (8 if s < 3 else 31 - 24)
+    # (c) doc 2 crosses the seq-1 boundary: split rows in seq 1 and 2?
+    # tokens: d1=[0,3) d2=[3,10) d4=[10,30) d5=[30,31)
+    d2 = sorted(by_doc[2], key=lambda r: r.seq_id)
+    assert [(r.seq_id, r.seq_tok_start, r.seq_tok_end) for r in d2] == [
+        (0, 3, 8), (1, 0, 2)
+    ]
+
+
+def test_pack_sequences_plan_no_single_partition_exchange(spark):
+    """The packing plan must not funnel data through one task: no
+    Exchange SinglePartition (the global order comes from the two-phase
+    range cumsum)."""
+    from webcrawler_go_spark.operators.textanalysis import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5)) for i in range(50)], "doc_id long, text string"
+    )
+    plan = pack_sequences(df, capacity=16)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -62,3 +62,43 @@ def global_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact distributed global running SUM of ``val_col`` over the
+    total order ``order_cols`` (inclusive of the current row) — the
+    cumulative-sum sibling of `global_row_number`, same two-phase
+    shape: range exchange → local window cumsum per partition tile →
+    n_parts-row per-partition totals → driver-side offsets broadcast
+    back. No Exchange SinglePartition anywhere in the plan."""
+    key = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(n_parts, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)   # pin ONE evaluation of the exchange
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_lc", F.sum(F.col(val_col)).over(w_local))
+    sums = dict(
+        d.groupBy("_pid").agg(F.sum(val_col).alias("_s")).collect()
+    )
+    running, offsets = 0, []
+    for pid in sorted(sums):
+        offsets.append((pid, running))
+        running += int(sums[pid] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "`_pid` int, `_off` long")
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lc")).cast("long"))
+        .drop("_pid", "_lc", "_off")
+    )

@@ -403,3 +403,64 @@ def tfidf_top_terms(
         .filter(F.col("tfidf_rank") <= k)
         .select("doc_id", "token", "tfidf_rank", "score")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Training-sequence PACKING by concat-and-chunk: lay every
+    document's whitespace tokens end-to-end in ``id_col`` order and cut
+    the stream into fixed-``capacity`` sequences — the packing strategy
+    GPT-style pretraining pipelines actually use (concat corpus, chunk
+    into context windows; documents spanning a boundary are split).
+
+    Emits one row per (document × overlapped sequence):
+
+    * ``seq_id``          — 0-based sequence (context window) index
+    * ``seq_tok_start/end`` — the doc's token span WITHIN the sequence
+      (end exclusive; 0 ≤ start < end ≤ capacity)
+    * ``doc_tok_start/end`` — the corresponding span WITHIN the doc
+    * ``n_tokens``        — the doc's total whitespace-token count
+
+    Scale shape: the global token offsets come from `global_cumsum`
+    (range exchange + driver offsets — NO single-partition Window), the
+    chunk overlap is a pure-codegen ``sequence``+``posexplode``, and
+    nothing else shuffles. Zero-token docs emit no rows."""
+    from webcrawler_go_spark.operators.rank import global_cumsum
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(F.col(text_col)).alias("n_tokens"),
+    )
+    c = global_cumsum(t, ["doc_id"], "n_tokens", out_col="tok_end", n_parts=n_parts)
+    c = c.filter(F.col("n_tokens") > 0).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tokens")
+    )
+    cap = F.lit(capacity).cast("long")
+    seqs = c.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_start DIV {capacity}"),
+                F.expr(f"(tok_end - 1) DIV {capacity}"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("seq_id") * cap)
+    hi = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * cap)
+    return seqs.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (lo - F.col("seq_id") * cap).cast("long").alias("seq_tok_start"),
+        (hi - F.col("seq_id") * cap).cast("long").alias("seq_tok_end"),
+        (lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+        (hi - F.col("tok_start")).cast("long").alias("doc_tok_end"),
+        "n_tokens",
+    )
