@@ -2150,6 +2150,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, capacity=256)
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain-mixture resampling (alpha 0.5): each
+    domain keeps docs at rate floor(1e6·sqrt(min_count/count))/1e6 — the
+    rarest domain keeps everything, head domains are damped — via the
+    deterministic hash-threshold draw. One metadata-scale agg + one
+    broadcast join; the corpus side is a narrow filter. The sf sources
+    are uniform by construction, so the query folds them into a 60/30/10
+    power-law head/mid/tail split first — the damping path actually
+    runs (head rate ≈ 0.408, mid ≈ 0.577, tail = 1). Oracle = the
+    identical counts/sqrt/floor/draw arithmetic in SQL."""
+    from webcrawler_go_spark.operators.textanalysis import mixture_resample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "head")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("tail")
+        .alias("source"),
+    )
+    return mixture_resample(d, alpha=0.5)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation: canonical text form before dedup (lowercase, control
     chars stripped, whitespace collapsed, trimmed) — pure Catalyst."""
@@ -2909,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pdf_cmyk_wrap": q_media_pdf_cmyk_wrap,
         "embedding_cosine_tiled": q_embedding_cosine_tiled,
         "pack_sequences": q_pack_sequences,
+        "mixture_resample": q_mixture_resample,
         # (2) output changed: pdf_filters_extract grew two predictor
         # cycle entries; media_frame_sample grew decode_error; lang_id /
         # text_quality tokenization is Unicode-aware now
@@ -2934,8 +2957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # refactor, sample_frames isolation)
         "media_decode_png": q_media_decode_png,
         "media_cmyk_transform": q_media_cmyk_transform,
-        # (3d) textanalysis.py changed (Unicode word split)
-        "boilerplate_ngrams": q_boilerplate_ngrams,
         # (3e) __spark_entry__ streaming body changed (timeout raise)
         "streaming_window_agg": q_streaming_window_agg,
         # (3f) fetch.py changed (hot-host rank-chunk salt in the kernel
@@ -2975,6 +2996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "media_decode_wav": q_media_decode_wav,
         "media_metadata": q_media_metadata,
+        # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
+        # was appended to that module, shingles itself byte-identical)
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "text_repetition": q_text_repetition,
         "text_normalize": q_text_normalize,
         "sample_stratified": q_sample_stratified,
@@ -3554,6 +3578,25 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents""",
+        "mixture_resample": """
+            WITH dom AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 10 < 6 THEN 'head'
+                           WHEN doc_id % 10 < 9 THEN 'mid'
+                           ELSE 'tail' END) AS source
+              FROM documents
+            ),
+            c AS (SELECT source, COUNT(*) AS c FROM dom GROUP BY source),
+            r AS (
+              SELECT source,
+                     CAST(FLOOR(1000000 * sqrt(CAST((SELECT MIN(c) FROM c) AS DOUBLE)
+                                               / CAST(c AS DOUBLE))) AS BIGINT) AS rate_micro
+              FROM c
+            )
+            SELECT d.doc_id, d.source, r.rate_micro
+            FROM dom d JOIN r ON d.source = r.source
+            WHERE ((d.doc_id % 999999937) * 2654435761) % 999999937 % 1000000
+                  < r.rate_micro""",
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -377,3 +377,37 @@ def test_pack_sequences_plan_no_single_partition_exchange(spark):
     )
     plan = pack_sequences(df, capacity=16)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    """Temperature resampling: rarest domain keeps 100%, head damped at
+    exactly floor(1e6*sqrt(min/c)); the draw is a pure function of the
+    key (repartitioning the input changes nothing); per-domain keep
+    counts concentrate near rate*n."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.textanalysis import mixture_resample
+
+    rows = [(i, "head" if i % 10 < 8 else "tail") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(df, alpha=0.5).collect()
+    rates = {r.source: r.rate_micro for r in out}
+    # head: 1600 docs, tail: 400 -> head rate floor(1e6*sqrt(400/1600))
+    assert rates == {"head": 500_000, "tail": 1_000_000}
+    kept = {"head": 0, "tail": 0}
+    for r in out:
+        kept[r.source] += 1
+    assert kept["tail"] == 400                      # rarest: all kept
+    assert abs(kept["head"] - 800) < 80             # ~rate*n, hash-exact
+    again = {
+        (r.doc_id, r.source)
+        for r in mixture_resample(df.repartition(13), alpha=0.5).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in out}
+
+
+def test_mixture_resample_empty_input(spark):
+    from webcrawler_go_spark.operators.textanalysis import mixture_resample
+
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert mixture_resample(df, alpha=0.5).collect() == []

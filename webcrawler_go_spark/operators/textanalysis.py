@@ -464,3 +464,53 @@ def pack_sequences(
         (hi - F.col("tok_start")).cast("long").alias("doc_tok_end"),
         "n_tokens",
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain-mixture resampling (the Pile/ROOTS-style
+    reweighting): each source's keep-rate ∝ count^(alpha-1), normalized
+    so the RAREST source keeps 100% — alpha 1 is the natural mixture,
+    alpha 0 would equalize all sources, 0.5 the usual compromise that
+    damps head domains without drowning the tail.
+
+    Rates are computed from per-source counts (a metadata-scale agg; the
+    min lands driver-side like rank.py's partition offsets) as
+    ``floor(scale * (min_c / c)^(1-alpha))`` and the draw reuses
+    `stratified_sample`'s deterministic hash threshold, so the sample is
+    a pure function of the key — reproducible across engines, stable
+    under repartitioning, shuffle-free on the corpus side (one broadcast
+    join of #sources rows). alpha=0.5 routes through sqrt, which IEEE
+    754 rounds correctly in every engine (pow does not guarantee the
+    last ulp — the cross-engine hash-parity trap).
+
+    Returns the kept rows plus each row's ``rate_micro`` for audit."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("_c"))
+    min_c = counts.agg(F.min("_c")).collect()[0][0]
+    if min_c is None:
+        return docs.select(
+            F.col(key_col), F.col(source_col), F.lit(0).cast("long").alias("rate_micro")
+        ).limit(0)
+    ratio = F.lit(float(min_c)) / F.col("_c").cast("double")
+    if alpha == 0.5:
+        factor = F.sqrt(ratio)
+    else:
+        factor = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.select(
+        source_col,
+        F.floor(F.lit(scale) * factor).cast("long").alias("rate_micro"),
+    )
+    draw = F.pmod(
+        F.pmod(F.col(key_col).cast("long"), F.lit(SAMPLE_P)) * F.lit(SAMPLE_A),
+        F.lit(SAMPLE_P),
+    ) % F.lit(scale)
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .filter(draw < F.col("rate_micro"))
+        .select(F.col(key_col), F.col(source_col), F.col("rate_micro"))
+    )
