@@ -2150,6 +2150,49 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, capacity=256)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich 2016 / GPT-2 family) on the
+    deterministic synthetic word-frequency table (the crawl_multiround
+    fixed-world pattern — BPE's merge sequence depends on corpus-wide
+    counts, so the oracle needs a closed input): 40 merges learned 4 per
+    round (the batched scale path — one vocab-scale pair shuffle + one
+    ≤16-row driver argmax + one Arrow merge-apply kernel per round).
+    Oracle = the sequential plain-Python reference's merge table as
+    VALUES; classic one-per-round parity is pytest-asserted."""
+    from webcrawler_go_spark.operators.bpe import bpe_train, demo_word_counts
+
+    wc = spark.createDataFrame(
+        list(demo_word_counts().items()), "word string, count long"
+    )
+    merges = bpe_train(wc, n_merges=40, merges_per_round=4)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+
+
+def _bpe_merges_oracle_sql() -> str:
+    """VALUES oracle computed by the SEQUENTIAL plain-Python BPE trainer
+    (`bpe_train_sequential`, same batched K=4 algorithm) over the same
+    deterministic word-frequency table — the head_probe golden-VALUES
+    pattern: the distributed trainer must reproduce the scalar
+    reference's merge table exactly, rank for rank."""
+    from webcrawler_go_spark.operators.bpe import (
+        bpe_train_sequential,
+        demo_word_counts,
+    )
+
+    merges = bpe_train_sequential(demo_word_counts(), 40, merges_per_round=4)
+    rows = ",\n              ".join(
+        f"({i}, '{a}', '{b}', {c})" for i, (a, b, c) in enumerate(merges)
+    )
+    return (
+        'SELECT CAST(rank AS BIGINT) AS rank, left_sym AS "left",\n'
+        '                   right_sym AS "right", CAST(pair_count AS BIGINT) AS pair_count\n'
+        f"            FROM (VALUES {rows}) AS t(rank, left_sym, right_sym, pair_count)"
+    )
+
+
 def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain-mixture resampling (alpha 0.5): each
     domain keeps docs at rate floor(1e6·sqrt(min_count/count))/1e6 — the
@@ -2996,6 +3039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "media_decode_wav": q_media_decode_wav,
         "media_metadata": q_media_metadata,
+        # bpe_merges is NEW this round but position 51: the 50 slots are
+        # exactly consumed by tiers (1)-(3) + the 14 mandated r2
+        # rotations; its oracle is registered (check_oracles verifies it
+        # today) and it is first in line for the r6 recording window.
+        "bpe_merges": q_bpe_merges,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -3622,6 +3670,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
                    n_tokens
             FROM s, unnest(generate_series(CAST(tok_start // 256 AS BIGINT),
                                            CAST((tok_end - 1) // 256 AS BIGINT))) AS u(sq)""",
+        "bpe_merges": _bpe_merges_oracle_sql(),
         "text_normalize": r"""
             SELECT doc_id,
                    lower(trim(regexp_replace(
