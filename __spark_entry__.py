@@ -1769,6 +1769,57 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=2)
 
 
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization + asymmetric distance: m=4
+    subspace codebooks (deterministic k-means), corpus encoded to 4
+    integer codes/vector (~1/32 the float32 footprint — the PQ memory
+    story at 10⁹ vectors), queries scored through a broadcast LUT with
+    integer micro-unit distances so the subspace sum is order-
+    independent. Oracle = numpy golden replication (the IVF pattern);
+    recall vs brute force asserted in tests/test_similarity.py."""
+    from webcrawler_go_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, queries, k=5, m=4, n_cents=16)
+
+
+def _pq_topk_oracle_sql(k: int = 5, m: int = 4, n_cents: int = 16, n_queries: int = 8) -> str:
+    """Golden VALUES oracle for embedding_pq_topk: the sequential numpy
+    replication (similarity.pq_topk_numpy) evaluated over the driver's
+    sf0.01 embeddings — the _ivf_topk_oracle_sql pattern."""
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.operators.similarity import pq_topk_numpy
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor,"
+            " CAST(NULL AS BIGINT) AS adc_d2_micro, CAST(NULL AS INT) AS rank WHERE false"
+        )
+    rows = pq_topk_numpy(
+        tbl.column("vec_id").to_numpy(),
+        tbl.column("embedding").to_pylist(),
+        range(n_queries),
+        m=m,
+        n_cents=n_cents,
+        k=k,
+    )
+    vals = ",\n              ".join(
+        f"({q}, {nb}, {adc}, {r})" for q, nb, adc, r in rows
+    )
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor AS BIGINT) AS neighbor,\n"
+        "                   CAST(adc_d2_micro AS BIGINT) AS adc_d2_micro, CAST(rank AS INT) AS rank\n"
+        f"            FROM (VALUES {vals}) AS t(query_id, neighbor, adc_d2_micro, rank)"
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation repetition signals (Gopher/MassiveText duplicate-n-gram
     family): word + word-bigram duplication counts per document, pure
@@ -3093,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recording window with this round's other uncapped additions.
         "bpe_merges": q_bpe_merges,
         "bm25_retrieval": q_bm25_retrieval,
+        "embedding_pq_topk": q_embedding_pq_topk,
         "bigram_lm_scores": q_bigram_lm_scores,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
@@ -3721,6 +3773,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
             FROM s, unnest(generate_series(CAST(tok_start // 256 AS BIGINT),
                                            CAST((tok_end - 1) // 256 AS BIGINT))) AS u(sq)""",
         "bpe_merges": _bpe_merges_oracle_sql(),
+        "embedding_pq_topk": _pq_topk_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

@@ -302,3 +302,86 @@ def test_tiled_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_topk_matches_numpy_reference(spark):
+    """Distributed PQ/ADC pipeline ≡ the sequential numpy golden
+    reference, bit-for-bit (integer micro-unit distances)."""
+    import random
+
+    from webcrawler_go_spark.operators.similarity import pq_topk, pq_topk_numpy
+
+    rng = random.Random(7)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        tuple(r) for r in pq_topk(emb, emb.filter("vec_id < 5"), k=5, m=2, n_cents=4).collect()
+    )
+    want = pq_topk_numpy(
+        [r[0] for r in rows], [r[1] for r in rows], range(5), m=2, n_cents=4, k=5
+    )
+    assert got == want
+
+
+def test_pq_codes_are_compact(spark):
+    """The encoded corpus is m rows of small-int codes per vector —
+    the 1/32-footprint contract ADC scans rely on."""
+    import random
+
+    from webcrawler_go_spark.operators.similarity import pq_encode, pq_train
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = pq_train(emb, m=2, k=4)
+    codes = pq_encode(emb, cents, m=2).collect()
+    assert len(codes) == 40 * 2
+    assert all(0 <= r["code"] < 4 for r in codes)
+    per_id = {}
+    for r in codes:
+        per_id.setdefault(r["id"], set()).add(r["m"])
+    assert all(ms == {0, 1} for ms in per_id.values())
+
+
+def test_pq_recall_vs_brute_force_sf001():
+    """PQ/ADC shortlist quality vs exact brute force on the driver's
+    sf0.01 embeddings. This data is PQ's WORST case — near-isotropic
+    unit vectors in 64-d, where true-neighbor margins sit below the
+    quantization distortion (verified: even numpy PQ with 10 Lloyd
+    iters and 16×32 codebooks stays ≈0.5 recall@5) — so the asserted
+    contract is the one PQ actually offers: the ADC shortlist
+    decisively beats the random-draw baseline (5/492 ≈ 0.01 at k=5,
+    50/492 ≈ 0.10 at k=50) and deepens monotonically; exact re-ranking
+    of the shortlist (brute_force_topk over it) restores precision."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from webcrawler_go_spark.operators.similarity import brute_force_topk, pq_topk
+    from webcrawler_go_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    exact = brute_force_topk(emb, queries, k=5)
+    by_q_exact = {}
+    for r in exact.collect():
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor)
+    total = sum(len(n) for n in by_q_exact.values())
+
+    def recall(depth):
+        by_q = {}
+        for r in pq_topk(emb, queries, k=depth, m=4, n_cents=16).collect():
+            by_q.setdefault(r.query_id, set()).add(r.neighbor)
+        return sum(len(by_q.get(q, set()) & n) for q, n in by_q_exact.items()) / total
+
+    r5, r20, r50 = recall(5), recall(20), recall(50)
+    # measured on this data: 0.275 / 0.425 / 0.75 — 10-30x the
+    # random-draw baseline at each depth
+    assert r5 >= 0.15, f"PQ recall@5 {r5:.2f} (random ≈ 0.01)"
+    assert r20 >= 0.3, f"PQ shortlist recall@20 {r20:.2f} (random ≈ 0.04)"
+    assert r50 >= 0.55, f"PQ shortlist recall@50 {r50:.2f} (random ≈ 0.10)"
+    assert r5 <= r20 <= r50

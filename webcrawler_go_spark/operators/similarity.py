@@ -739,3 +739,287 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory-compression scale path
+# ---------------------------------------------------------------------------
+
+def _subvectors(
+    e: DataFrame, m: int, d_sub: int, vec_name: str = "v"
+) -> DataFrame:
+    """(id, v) → (id, m, sv): the M contiguous subvector slices of each
+    vector, one explode of an array-of-structs (codegen slices, no
+    interpreted HOFs)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("m"),
+                F.slice(vec_name, j * d_sub + 1, d_sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return e.select("id", F.explode(parts).alias("p")).select(
+        "id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, m, sv) × broadcast (m, cell, centroid) → nearest cell per
+    (id, m) by squared L2, tie → lowest cell. Same codegen shape and
+    float semantics as assign_to_centroids: float32 squared deltas,
+    float64 accumulation in pos order inside ONE hash-agg partial per
+    (id, m, cell) group (each (id, m) subvector is a single input row)."""
+    from pyspark.sql import Window
+
+    ex = sv.select("id", "m", F.posexplode("sv").alias("pos", "x"))
+    cx = cents.select("m", "cell", F.posexplode("centroid").alias("pos", "c"))
+    d2 = (
+        ex.join(F.broadcast(cx), ["m", "pos"])
+        .groupBy("id", "m", "cell")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast("double")
+            ).alias("_d2")
+        )
+    )
+    w = Window.partitionBy("id", "m").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    return (
+        d2.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "m", "cell")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Train the PQ codebooks: per subspace j (of ``m`` contiguous
+    slices), deterministic k-means over the corpus subvectors — seeds =
+    the ``k`` lowest ids' slices, ``lloyd_iters`` Lloyd steps (float64
+    means cast to float32, the ivf_assign semantics; a cell that loses
+    every member is DROPPED, never stale). ALL subspaces train in one
+    job: the k-means state is keyed (m, cell), so each iteration is one
+    assignment shuffle + one mean shuffle regardless of m.
+
+    Returns centroids (m, cell, centroid array<float>). Codebook size =
+    m·k rows — metadata scale, broadcast by every consumer."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = len(e.select("v").first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+    sv = _subvectors(e, m, d_sub)
+
+    from pyspark.sql import Window
+
+    seeds = e.orderBy("id").limit(k)
+    w = Window.orderBy("id")
+    seed_cells = seeds.withColumn("_r", F.row_number().over(w)).select(
+        "id", (F.col("_r") - 1).alias("cell"), "v"
+    )
+    cents = _subvectors(seed_cells.select("id", "v"), m, d_sub).join(
+        seed_cells.select("id", "cell"), "id"
+    ).select("m", "cell", F.col("sv").alias("centroid"))
+
+    for _ in range(lloyd_iters):
+        a = _pq_assign(sv, cents)
+        exploded = (
+            sv.join(a, ["id", "m"])
+            .select("m", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.avg("x").alias("mean"))
+        )
+        cents = (
+            exploded.groupBy("m", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "m",
+                "cell",
+                # HOF on m·k codebook rows only — metadata scale
+                F.transform("pm", lambda s: s["mean"].cast("float")).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus against trained codebooks: (id, m, code) — the
+    long form (one row per subspace code). At 10⁹ vectors this table is
+    m·N rows of 3 integers, ~1/32 the footprint of the float32 corpus —
+    the whole point of PQ: the ADC scan never touches the raw vectors."""
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = len(e.select("v").first()["v"])
+    sv = _subvectors(e, m, dim // m)
+    return _pq_assign(sv, cents).withColumnRenamed("cell", "code")
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_cents: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via PQ asymmetric distance (ADC): train codebooks,
+    encode the corpus once, then score every (query, doc) pair as
+
+        adc_d2_micro = Σ_m floor(10⁶ · ‖q_m − c_{m, code_m(doc)}‖²)
+
+    — each subspace distance is quantized to INTEGER micro-units BEFORE
+    the Σ, so the cross-partition sum is order-independent (no float
+    addition-order hazard; a PQ distance is an approximation, micro
+    precision is far below its own quantization error). The per-query
+    LUT (m·n_cents squared distances) is computed with the
+    assign_to_centroids codegen shape from ONE row per (query, m) —
+    deterministic pos-order float64 accumulation — and broadcast; the
+    scan is codes ⨝ LUT on (m, code) + an integer SUM groupBy. Ranking:
+    distance asc, neighbor asc. Self-pairs excluded.
+
+    Recall@k grows with m and n_cents (the standard PQ knobs); exact
+    re-ranking of the PQ top candidates with true vectors is
+    `brute_force_topk` over the shortlist."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(e.select("v").first()["v"])
+    d_sub = dim // m
+    cents = pq_train(emb, m=m, k=n_cents, vec_col=vec_col, id_col=id_col, dim=dim)
+    codes = pq_encode(emb, cents, m=m, dim=dim, vec_col=vec_col, id_col=id_col)
+
+    qe = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v"))
+    qsv = _subvectors(
+        qe.withColumnRenamed("query_id", "id"), m, d_sub
+    ).withColumnRenamed("id", "query_id")
+    qx = qsv.select("query_id", "m", F.posexplode("sv").alias("pos", "x"))
+    cx = cents.select("m", F.col("cell").alias("code"), F.posexplode("centroid").alias("pos", "c"))
+    lut = (
+        qx.join(F.broadcast(cx), ["m", "pos"])
+        .groupBy("query_id", "m", "code")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast("double")
+            ).alias("_d2")
+        )
+        .select(
+            "query_id", "m", "code",
+            F.floor(F.lit(1e6) * F.col("_d2")).cast("long").alias("d2_micro"),
+        )
+    )
+    pairs = (
+        codes.withColumnRenamed("id", "neighbor")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor") != F.col("query_id"))
+        .groupBy("query_id", "neighbor")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2_micro").asc(), F.col("neighbor").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "adc_d2_micro", "rank")
+    )
+
+
+def pq_topk_numpy(ids, vecs, query_ids, m=4, n_cents=16, k=5, lloyd_iters=2):
+    """Sequential numpy replication of the DETERMINISTIC pq_topk
+    pipeline — the golden oracle (the _ivf_topk_oracle_sql pattern).
+    Float semantics mirror the Spark plan exactly: element ops in
+    float32, accumulation sequential left-to-right in float64 (one
+    hash-agg partial in pos order), Lloyd means float64→float32, LUT
+    distances floored to integer micro-units BEFORE the subspace sum
+    (which is then order-independent integer math). Returns
+    [(query_id, neighbor, adc_d2_micro, rank)] sorted."""
+    import math as _math
+
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    ids = np.asarray(ids)[order]
+    vecs = np.asarray(vecs, dtype=np.float32)[order]
+    n, dim = vecs.shape
+    assert dim % m == 0
+    d_sub = dim // m
+
+    def seq_sum64(arr32):
+        acc = 0.0
+        for x in arr32:
+            acc += float(x)
+        return acc
+
+    def sub(v, j):
+        return v[j * d_sub : (j + 1) * d_sub]
+
+    # codebooks per subspace: seeds = n_cents lowest ids' slices
+    cents = {j: {c: sub(vecs[c], j).copy() for c in range(min(n_cents, n))} for j in range(m)}
+    for _ in range(lloyd_iters):
+        assign = {}
+        for j in range(m):
+            live = sorted(cents[j])
+            for i in range(n):
+                d2s = []
+                for c in live:
+                    d = sub(vecs[i], j) - cents[j][c]
+                    d2s.append(seq_sum64(d * d))
+                best = min(range(len(live)), key=lambda t: (d2s[t], live[t]))
+                assign[(i, j)] = live[best]
+        for j in range(m):
+            new = {}
+            for c in sorted(cents[j]):
+                members = [sub(vecs[i], j) for i in range(n) if assign[(i, j)] == c]
+                if members:
+                    new[c] = (
+                        np.stack(members).astype(np.float64).mean(axis=0).astype(np.float32)
+                    )
+            cents[j] = new
+    codes = {}
+    for j in range(m):
+        live = sorted(cents[j])
+        for i in range(n):
+            d2s = []
+            for c in live:
+                d = sub(vecs[i], j) - cents[j][c]
+                d2s.append(seq_sum64(d * d))
+            best = min(range(len(live)), key=lambda t: (d2s[t], live[t]))
+            codes[(i, j)] = live[best]
+
+    out = []
+    qset = set(query_ids)
+    for qi in range(n):
+        if ids[qi] not in qset:
+            continue
+        lut = {}
+        for j in range(m):
+            for c in sorted(cents[j]):
+                d = sub(vecs[qi], j) - cents[j][c]
+                lut[(j, c)] = _math.floor(1e6 * seq_sum64(d * d))
+        scored = []
+        for ni in range(n):
+            if ids[ni] == ids[qi]:
+                continue
+            adc = sum(lut[(j, codes[(ni, j)])] for j in range(m))
+            scored.append((adc, int(ids[ni])))
+        scored.sort()
+        out.extend(
+            (int(ids[qi]), nb, adc, r + 1) for r, (adc, nb) in enumerate(scored[:k])
+        )
+    return sorted(out)
