@@ -2222,6 +2222,83 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus tokenization with a REAL learned tokenizer:
+    word counts from the documents table → distributed BPE training (24
+    merges, 4/round) → greedy encode of the DISTINCT VOCABULARY only
+    (the scale trick: encode |V| words, not N docs — at 100 TB the
+    vocab table is ~10⁷ rows vs 10¹⁰ docs) → broadcast-join the encoded
+    lengths back onto the token stream → per-doc exact BPE token
+    counts. Replaces the `token_counts` regex HEURISTIC with the real
+    thing. Oracle = golden VALUES from the sequential reference over
+    the same parquet."""
+    from webcrawler_go_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = tok.groupBy("word").agg(F.count("*").alias("count"))
+    merges = bpe_train(wc, n_merges=24, merges_per_round=4)
+    enc = bpe_encode(wc.select("word"), merges).select(
+        "word", F.col("n_tokens").alias("word_bpe_len")
+    )
+    per_doc = (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_bpe_len").alias("n_bpe_tokens"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_encode_corpus_oracle_sql() -> str:
+    """Golden VALUES from the sequential BPE reference replicating the
+    whole corpus pipeline (word counts → train 24/4 → encode) over the
+    driver's sf0.01 documents parquet."""
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.operators.bpe import (
+        bpe_encode_sequential,
+        bpe_train_sequential,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,"
+            " CAST(NULL AS BIGINT) AS n_bpe_tokens WHERE false"
+        )
+    doc_words = {
+        int(d): [w for w in (t or "").strip().split() if w]
+        for d, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    }
+    wc: dict[str, int] = {}
+    for ws in doc_words.values():
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    merges = bpe_train_sequential(wc, 24, merges_per_round=4)
+    enc_len = {w: len(bpe_encode_sequential(w, merges)) for w in wc}
+    vals = ",\n              ".join(
+        f"({d}, {len(ws)}, {sum(enc_len[w] for w in ws)})"
+        for d, ws in sorted(doc_words.items())
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,\n"
+        "                   CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens\n"
+        f"            FROM (VALUES {vals}) AS t(doc_id, n_words, n_bpe_tokens)"
+    )
+
+
 def _bpe_merges_oracle_sql() -> str:
     """VALUES oracle computed by the SEQUENTIAL plain-Python BPE trainer
     (`bpe_train_sequential`, same batched K=4 algorithm) over the same
@@ -3146,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "embedding_pq_topk": q_embedding_pq_topk,
         "bigram_lm_scores": q_bigram_lm_scores,
+        "bpe_encode_corpus": q_bpe_encode_corpus,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -3773,6 +3851,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
             FROM s, unnest(generate_series(CAST(tok_start // 256 AS BIGINT),
                                            CAST((tok_end - 1) // 256 AS BIGINT))) AS u(sq)""",
         "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_encode_corpus": _bpe_encode_corpus_oracle_sql(),
         "embedding_pq_topk": _pq_topk_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
