@@ -1820,6 +1820,89 @@ def _pq_topk_oracle_sql(k: int = 5, m: int = 4, n_cents: int = 16, n_queries: in
     )
 
 
+def q_embedding_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist (depth 50 from the compressed codes) + exact-cosine
+    re-rank of only those candidates — the production ANN composition:
+    the exact pass touches 50·|Q| pairs instead of N·|Q|, and any true
+    neighbor the shortlist retains is provably recovered (asserted in
+    tests: recall@5 of this query ≡ raw shortlist recall@50). Oracle =
+    numpy golden replication with IVF float semantics."""
+    from webcrawler_go_spark.operators.similarity import pq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_rerank_topk(emb, queries, k=5, shortlist=50, m=4, n_cents=16)
+
+
+def _pq_rerank_oracle_sql(
+    k: int = 5, shortlist: int = 50, m: int = 4, n_cents: int = 16, n_queries: int = 8
+) -> str:
+    """Golden VALUES for embedding_pq_rerank: pq_topk_numpy shortlist +
+    sequential-float64 exact cosine, rounded HALF_UP to 6 (the
+    _ivf_topk_oracle_sql float contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.operators.similarity import pq_topk_numpy
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor,"
+            " CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank WHERE false"
+        )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    by_id = {int(i): vecs[j] for j, i in enumerate(ids)}
+
+    short = pq_topk_numpy(ids, vecs, range(n_queries), m=m, n_cents=n_cents, k=shortlist)
+
+    def seq_sum64(arr32):
+        acc = 0.0
+        for x in arr32:
+            acc += float(x)
+        return acc
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    cand: dict[int, list[int]] = {}
+    for q, nb, _adc, _r in short:
+        cand.setdefault(q, []).append(nb)
+    rows = []
+    for q, nbs in sorted(cand.items()):
+        qv = by_id[q]
+        nq = seq_sum64(qv * qv) ** 0.5
+        scored = []
+        for nb in nbs:
+            v = by_id[nb]
+            nv = seq_sum64(v * v) ** 0.5
+            cosine = r6(seq_sum64(v * qv) / (nv * nq))
+            scored.append((-cosine, nb, cosine))
+        scored.sort()
+        rows.extend(
+            (q, nb, cosine, r + 1) for r, (_neg, nb, cosine) in enumerate(scored[:k])
+        )
+    vals = ",\n              ".join(
+        f"({q}, {nb}, {cos!r}, {r})" for q, nb, cos, r in rows
+    )
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor AS BIGINT) AS neighbor,\n"
+        "                   CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank\n"
+        f"            FROM (VALUES {vals}) AS t(query_id, neighbor, cosine, rank)"
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation repetition signals (Gopher/MassiveText duplicate-n-gram
     family): word + word-bigram duplication counts per document, pure
@@ -3222,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25_retrieval": q_bm25_retrieval,
         "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_pq_rerank": q_embedding_pq_rerank,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_encode_corpus": q_bpe_encode_corpus,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
@@ -3853,6 +3937,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_encode_corpus": _bpe_encode_corpus_oracle_sql(),
         "embedding_pq_topk": _pq_topk_oracle_sql(),
+        "embedding_pq_rerank": _pq_rerank_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

@@ -385,3 +385,44 @@ def test_pq_recall_vs_brute_force_sf001():
     assert r20 >= 0.3, f"PQ shortlist recall@20 {r20:.2f} (random ≈ 0.04)"
     assert r50 >= 0.55, f"PQ shortlist recall@50 {r50:.2f} (random ≈ 0.10)"
     assert r5 <= r20 <= r50
+
+
+def test_pq_rerank_recovers_shortlisted_neighbors_sf001():
+    """Exact re-rank contract: any true top-5 neighbor the PQ shortlist
+    (depth 50) retains must appear in the re-ranked top-5 — so
+    recall@5 of pq_rerank_topk equals the raw shortlist recall@50."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from webcrawler_go_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+        pq_topk,
+    )
+    from webcrawler_go_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor)
+    short = {}
+    for r in pq_topk(emb, queries, k=50, m=4, n_cents=16).collect():
+        short.setdefault(r.query_id, set()).add(r.neighbor)
+    rerank = {}
+    for r in pq_rerank_topk(emb, queries, k=5, shortlist=50, m=4, n_cents=16).collect():
+        rerank.setdefault(r.query_id, set()).add(r.neighbor)
+    for q, truth in exact.items():
+        retained = truth & short.get(q, set())
+        assert retained <= rerank.get(q, set()), (
+            f"query {q}: shortlist retained {retained} but re-rank lost some"
+        )
+    total = sum(len(n) for n in exact.values())
+    r_rerank = sum(len(rerank.get(q, set()) & n) for q, n in exact.items()) / total
+    r_short = sum(len(short.get(q, set()) & n) for q, n in exact.items()) / total
+    assert r_rerank == r_short  # the equivalence, exactly

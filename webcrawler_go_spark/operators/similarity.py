@@ -1023,3 +1023,68 @@ def pq_topk_numpy(ids, vecs, query_ids, m=4, n_cents=16, k=5, lloyd_iters=2):
             (int(ids[qi]), nb, adc, r + 1) for r, (adc, nb) in enumerate(scored[:k])
         )
     return sorted(out)
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 4,
+    n_cents: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production ANN path: PQ/ADC shortlists ``shortlist``
+    candidates per query from the compressed codes (never touching the
+    float corpus), then EXACT cosine re-ranks only those — restoring
+    the precision the quantization gave up. Provable contract: any true
+    top-k neighbor that survives into the shortlist ranks inside the
+    re-ranked top-k (exact metric, superset ordering), so
+    recall@k(re-rank) ≡ shortlist recall@shortlist — asserted in
+    tests. At 10⁹ vectors the exact pass touches shortlist·|Q| pairs
+    instead of N·|Q|.
+
+    Float semantics of the exact pass = ivf_topk's dots: float32
+    products accumulated sequentially in float64 (one partial per
+    pair), cosine rounded HALF_UP to 6."""
+    from pyspark.sql import Window
+
+    short = pq_topk(
+        emb, queries, k=shortlist, m=m, n_cents=n_cents,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor")
+    e = emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"))
+    nrm = norms_codegen(emb, vec_col=vec_col, id_col=id_col)
+    qe = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qn = norms_codegen(queries, vec_col=vec_col, id_col=id_col)
+    pairs = (
+        short.join(e, "neighbor")
+        .join(
+            nrm.withColumnRenamed("id", "neighbor").withColumnRenamed("_norm", "nv"),
+            "neighbor",
+        )
+        .join(F.broadcast(qe), "query_id")
+        .join(
+            F.broadcast(
+                qn.withColumnRenamed("id", "query_id").withColumnRenamed("_norm", "nq")
+            ),
+            "query_id",
+        )
+    )
+    ex = pairs.select(
+        "query_id", "neighbor", "nv", "nq",
+        F.posexplode(F.arrays_zip("v", "qv")).alias("pos", "z"),
+    )
+    dots = ex.groupBy("query_id", "neighbor").agg(
+        F.sum((F.col("z.v") * F.col("z.qv")).cast("double")).alias("_dot"),
+        F.first("nv").alias("nv"),
+        F.first("nq").alias("nq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        dots.withColumn("cosine", F.round(F.col("_dot") / (F.col("nv") * F.col("nq")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "cosine", "rank")
+    )
