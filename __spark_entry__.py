@@ -3200,6 +3200,254 @@ def _sitemap_bot_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# WARC ingest: the web-archive container every large crawl corpus ships in.
+# Deterministic fixture: documents grouped 20-per-archive, each record its
+# own gzip member (the splittable Common Crawl framing), parsed back
+# distributed at file-per-task granularity.
+# ---------------------------------------------------------------------------
+
+_WARC_RECORDS_PER_FILE = 20
+
+
+def _warc_fixture_fields(doc_id: int) -> tuple[str, str, int, str]:
+    """(uri, warc_date, status, content_type) for a document — the
+    contract both the Spark fixture kernel and the oracles state."""
+    fid = doc_id // _WARC_RECORDS_PER_FILE
+    uri = f"https://w{fid}.example.org/doc/{doc_id}"
+    date = f"2024-03-15T10:{(doc_id // 60) % 60:02d}:{doc_id % 60:02d}Z"
+    if doc_id % 13 == 0:
+        return uri, date, 404, "text/plain"
+    return uri, date, 200, "text/html"
+
+
+def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per .warc.gz archive (filename, content).
+
+    Grouping key doc_id // 20 mirrors how a crawler rolls archives
+    (fixed records per file); records within a file are doc_id-sorted
+    so the archive bytes — and therefore member offsets — are
+    deterministic for the CDX golden oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("t"),
+        F.floor(F.col("doc_id") / _WARC_RECORDS_PER_FILE).cast("long").alias("file_id"),
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from webcrawler_go_spark.sources.warc import make_warc_gz, make_warc_record
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        recs = []
+        for did, t in zip(pdf["doc_id"], pdf["t"]):
+            uri, date, status, ctype = _warc_fixture_fields(int(did))
+            recs.append(
+                make_warc_record(
+                    uri, date, t.encode("utf-8"), status=status, content_type=ctype
+                )
+            )
+        return pd.DataFrame(
+            {"filename": [f"crawl-{fid:05d}.warc.gz"], "content": [make_warc_gz(recs)]}
+        )
+
+    return docs.groupBy("file_id").applyInPandas(
+        build, "filename string, content binary"
+    )
+
+
+def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round trip: write documents into per-record-gzipped
+    archives, parse them back distributed (`sources/warc.py`,
+    file-per-task — the real unit of WARC parallelism), and emit the
+    record table. The oracle states the full contract in plain SQL:
+    URI/status/MIME derivation, HTTP payload byte length, and exact
+    payload round-trip. Reference analogy: `filesave.go:21-60` persists
+    captures one loose file each; WARC is the at-scale container for
+    the same bytes."""
+    from webcrawler_go_spark.sources.warc import warc_records
+
+    recs = warc_records(_warc_files(spark, sf_dir))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "mime",
+        "content_length",
+        "payload",
+    )
+
+
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over the parsed archives: SURT urlkey, 14-digit
+    timestamp, SHA-1 payload digest, and the (filename, offset, length)
+    random-access triple per record — all codegen built-ins
+    (`sources/warc.py:cdx_index`), globally sorted the way CDX shards
+    are. Oracle = sequential golden replication (same writer bytes,
+    independent Python SURT/digest/timestamp)."""
+    from webcrawler_go_spark.sources.warc import cdx_index, warc_records
+
+    return cdx_index(warc_records(_warc_files(spark, sf_dir)))
+
+
+def _warc_cdx_oracle_sql() -> str:
+    """Golden VALUES for warc_cdx_index: rebuild the archives with the
+    same writer sequentially (gzip bytes are deterministic, so member
+    offsets/lengths match), but derive urlkey/timestamp/digest/status
+    independently in Python (hashlib SHA-1, hand-reversed host) rather
+    than through the Spark expressions under test."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.sources.warc import (
+        iter_warc_members,
+        make_warc_gz,
+        make_warc_record,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS urlkey, CAST(NULL AS VARCHAR) AS timestamp,"
+            " CAST(NULL AS VARCHAR) AS original, CAST(NULL AS VARCHAR) AS mime,"
+            " CAST(NULL AS INT) AS status, CAST(NULL AS VARCHAR) AS digest,"
+            " CAST(NULL AS BIGINT) AS length, CAST(NULL AS BIGINT) AS offset,"
+            " CAST(NULL AS VARCHAR) AS filename WHERE false"
+        )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    rows = []
+    by_file: dict[int, list[tuple[int, str]]] = {}
+    for did, text in docs:
+        by_file.setdefault(did // _WARC_RECORDS_PER_FILE, []).append(
+            (did, text[:200])
+        )
+    for fid, members in sorted(by_file.items()):
+        recs, meta = [], []
+        for did, t in members:  # already doc_id-sorted
+            uri, date, status, ctype = _warc_fixture_fields(did)
+            recs.append(
+                make_warc_record(
+                    uri, date, t.encode("utf-8"), status=status, content_type=ctype
+                )
+            )
+            meta.append((uri, date, status, ctype, t))
+        blob = make_warc_gz(recs)
+        offsets = [(off, ln) for off, ln, _raw in iter_warc_members(blob)]
+        assert len(offsets) == len(meta)
+        for (uri, date, status, ctype, t), (off, ln) in zip(meta, offsets):
+            host = uri.split("://", 1)[1].split("/", 1)[0]
+            path = "/" + uri.split("://", 1)[1].split("/", 1)[1]
+            urlkey = ",".join(reversed(host.split("."))) + ")" + path
+            ts = "".join(ch for ch in date if ch.isdigit())
+            digest = hashlib.sha1(t.encode("utf-8")).hexdigest()
+            rows.append(
+                (urlkey, ts, uri, ctype, status, digest, ln, off,
+                 f"crawl-{fid:05d}.warc.gz")
+            )
+    rows.sort(key=lambda r: (r[0], r[1]))
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n              ".join(
+        f"({lit(u)}, {lit(ts)}, {lit(o)}, {lit(m)}, {st}, {lit(dg)}, {ln}, {off}, {lit(fn)})"
+        for u, ts, o, m, st, dg, ln, off, fn in rows
+    )
+    return (
+        "SELECT urlkey, timestamp, original, mime, CAST(status AS INT) AS status,\n"
+        "                   digest, CAST(length AS BIGINT) AS length,\n"
+        "                   CAST(\"offset\" AS BIGINT) AS offset, filename\n"
+        f'            FROM (VALUES {vals}) AS t(urlkey, timestamp, original, mime, status, digest, length, "offset", filename)'
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) over documents:
+    every 7th document plays the target domain, the rest are scored by
+    the add-one-smoothed hashed-(uni+bi)gram importance log-ratio in
+    integer millinats, and the top 20% of raw documents are selected.
+    Whole pipeline is three aggregations + the two-phase distributed
+    rank — oracle is the identical program in plain SQL."""
+    from webcrawler_go_spark.operators.dsir import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_importance(
+        docs, target_pred=(F.col("doc_id") % 7 == 0), n_buckets=512,
+        select_frac=0.2,
+    )
+
+
+_DSIR_ORACLE_SQL = r"""
+WITH docs AS (SELECT doc_id, text, doc_id % 7 = 0 AS is_target FROM documents),
+arr AS (
+  SELECT doc_id, is_target,
+         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS l
+  FROM docs
+),
+uni AS (
+  SELECT doc_id, is_target, l[t.i] AS feature
+  FROM arr, unnest(generate_series(1, len(l))) AS t(i)
+),
+bi AS (
+  SELECT doc_id, is_target, l[t.i] || ' ' || l[t.i + 1] AS feature
+  FROM arr, unnest(generate_series(1, len(l) - 1)) AS t(i)
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+vocab AS (
+  SELECT feature,
+         ((CAST(row_number() OVER (ORDER BY feature) AS BIGINT) * 1000003)
+            % 1000000007) % 512 AS bucket
+  FROM (SELECT DISTINCT feature FROM feats)
+),
+inst AS (SELECT f.doc_id, f.is_target, v.bucket FROM feats f JOIN vocab v USING (feature)),
+model AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_b
+  FROM inst GROUP BY bucket
+),
+tot AS (SELECT SUM(t_b) AS tt, SUM(r_b) AS rr FROM model),
+llr AS (
+  SELECT bucket,
+         CAST(floor(1000.0 * ln(
+               (CAST(t_b + 1 AS DOUBLE) * CAST(rr + 512 AS DOUBLE))
+             / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + 512 AS DOUBLE))))
+           AS BIGINT) AS llr_milli
+  FROM model, tot
+),
+scores AS (
+  SELECT i.doc_id, COUNT(*) AS n_features, SUM(l.llr_milli) AS logweight_milli
+  FROM inst i JOIN llr l USING (bucket) GROUP BY i.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.is_target,
+         COALESCE(s.n_features, 0) AS n_features,
+         COALESCE(s.logweight_milli, 0) AS logweight_milli
+  FROM docs d LEFT JOIN scores s USING (doc_id)
+),
+k AS (SELECT CAST(floor(COUNT(*) * 0.2) AS BIGINT) AS k
+      FROM scored WHERE NOT is_target),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY -logweight_milli, doc_id) AS rn
+  FROM scored WHERE NOT is_target
+)
+SELECT s.doc_id, s.is_target,
+       CAST(s.n_features AS BIGINT) AS n_features,
+       CAST(s.logweight_milli AS BIGINT) AS logweight_milli,
+       COALESCE(r.rn <= k.k, false) AS selected
+FROM scored s LEFT JOIN ranked r USING (doc_id), k
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3306,6 +3554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": q_bm25_retrieval,
         "embedding_pq_topk": q_embedding_pq_topk,
         "embedding_pq_rerank": q_embedding_pq_rerank,
+        "warc_source": q_warc_source,
+        "warc_cdx_index": q_warc_cdx_index,
+        "dsir_importance": q_dsir_importance,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_encode_corpus": q_bpe_encode_corpus,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
@@ -3938,6 +4189,18 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "bpe_encode_corpus": _bpe_encode_corpus_oracle_sql(),
         "embedding_pq_topk": _pq_topk_oracle_sql(),
         "embedding_pq_rerank": _pq_rerank_oracle_sql(),
+        "warc_source": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://w' || CAST(doc_id // 20 AS VARCHAR) || '.example.org/doc/'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+                   CASE WHEN doc_id % 13 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS mime,
+                   CAST(strlen(substring(text, 1, 200)) AS BIGINT) AS content_length,
+                   substring(text, 1, 200) AS payload
+            FROM documents""",
+        "warc_cdx_index": _warc_cdx_oracle_sql(),
+        "dsir_importance": _DSIR_ORACLE_SQL,
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (
