@@ -3447,6 +3447,139 @@ FROM scored s LEFT JOIN ranked r USING (doc_id), k
 """
 
 
+def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
+    URL corpus: collapse digit runs to the mint template, then flag
+    (host, template) groups minting many distinct URLs over few distinct
+    contents. Hosts with id ≡ 0 (mod 7) play the trap role — their
+    content key cycles mod 3 while honest hosts' content is unique per
+    URL. One template-keyed shuffle; oracle is the identical SQL."""
+    from webcrawler_go_spark.operators.scheduling import spider_trap_scores
+
+    c = canon_corpus(spark, sf_dir)
+    # one row per DISTINCT discovered URL; min(k) is the URL's stable
+    # identity (k-sets of distinct URLs are disjoint → mins distinct)
+    urls = c.groupBy("url_norm", "host").agg(F.min("k").alias("uk"))
+    host_num = F.substring(F.col("host"), 6, 4).cast("int")
+    disc = urls.select(
+        "url_norm",
+        "host",
+        F.when(host_num % 7 == 0, F.col("uk") % 3)
+        .otherwise(F.col("uk"))
+        .alias("content_key"),
+    )
+    return spider_trap_scores(disc, min_urls=20, min_ratio=5)
+
+
+_SPIDER_TRAP_ORACLE_SQL = (
+    CANON_SQL
+    + """, urls AS (
+  SELECT url_norm, host, MIN(k) AS uk FROM canon GROUP BY url_norm, host
+),
+disc AS (
+  SELECT url_norm, host,
+         CASE WHEN CAST(substr(host, 6, 4) AS INT) % 7 = 0
+              THEN uk % 3 ELSE uk END AS content_key
+  FROM urls
+),
+tpl AS (
+  SELECT host,
+         regexp_replace(url_norm, '[0-9]+', 'N', 'g') AS template,
+         url_norm, content_key
+  FROM disc
+)
+SELECT host, template,
+       CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_contents,
+       CAST(floor(1000 * COUNT(DISTINCT url_norm)
+                  / COUNT(DISTINCT content_key)) AS BIGINT)
+         AS trap_ratio_milli,
+       (COUNT(DISTINCT url_norm) >= 20
+        AND COUNT(DISTINCT url_norm) >= 5 * COUNT(DISTINCT content_key))
+         AS is_trap
+FROM tpl GROUP BY host, template
+"""
+)
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl priority (Cho & Garcia-Molina, SIGMOD 2000) from a
+    synthetic capture history: each distinct URL gets 2-8 captures whose
+    content version advances at a per-URL rate (floor(seq·(uk%5)/8) —
+    a fifth of URLs never change, the rest at 1/8..4/8 per tick),
+    λ is the observed change fraction in millis, and priority is the
+    expected staleness floor(1000·(1−e^{−λ·age})) at scheduler tick 12.
+    LAG window + per-URL aggregate share one url-keyed exchange."""
+    from webcrawler_go_spark.operators.scheduling import recrawl_priority
+
+    c = canon_corpus(spark, sf_dir)
+    urls = c.groupBy("url_norm").agg(F.min("k").alias("uk"))
+    caps = urls.select(
+        "url_norm",
+        "uk",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), (F.col("uk") % 7) + 2)
+        ).alias("capture_seq"),
+    ).select(
+        "url_norm",
+        "capture_seq",
+        F.floor(
+            F.col("capture_seq") * (F.col("uk") % 5) / 8
+        ).alias("content_key"),
+    )
+    return recrawl_priority(caps, now_seq=12, hot_milli=500)
+
+
+_RECRAWL_ORACLE_SQL = (
+    CANON_SQL
+    + """, urls AS (
+  SELECT url_norm, MIN(k) AS uk FROM canon GROUP BY url_norm
+),
+caps AS (
+  SELECT url_norm, cs AS capture_seq,
+         CAST(floor(cs * (uk % 5) / 8) AS BIGINT) AS content_key
+  FROM urls, UNNEST(range(1, (uk % 7) + 3)) AS g(cs)
+),
+chg AS (
+  SELECT url_norm, capture_seq,
+         CASE WHEN lag(content_key) OVER w IS NULL THEN 0
+              WHEN lag(content_key) OVER w <> content_key THEN 1
+              ELSE 0 END AS chg
+  FROM caps
+  WINDOW w AS (PARTITION BY url_norm ORDER BY capture_seq)
+),
+stats AS (
+  SELECT url_norm, COUNT(*) AS n_caps, SUM(chg) AS n_changes,
+         MAX(capture_seq) AS last_seq
+  FROM chg GROUP BY url_norm
+),
+lam AS (
+  SELECT url_norm, n_caps, n_changes,
+         CASE WHEN n_caps > 1
+              THEN CAST(floor(1000 * n_changes / (n_caps - 1)) AS BIGINT)
+              ELSE 0 END AS lambda_milli,
+         12 - last_seq AS age
+  FROM stats
+),
+prio AS (
+  SELECT url_norm, n_caps, n_changes, lambda_milli, age,
+         CAST(floor(1000.0 * (1.0 - exp(
+               -(CAST(lambda_milli AS DOUBLE) / 1000.0) * age)))
+           AS BIGINT) AS priority_milli
+  FROM lam
+)
+SELECT url_norm,
+       CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       lambda_milli,
+       CAST(age AS BIGINT) AS age,
+       priority_milli,
+       priority_milli >= 500 AS recrawl
+FROM prio
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3559,6 +3692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_encode_corpus": q_bpe_encode_corpus,
+        "spider_trap_detect": q_spider_trap_detect,
+        "recrawl_schedule": q_recrawl_schedule,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4201,6 +4336,8 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
             FROM documents""",
         "warc_cdx_index": _warc_cdx_oracle_sql(),
         "dsir_importance": _DSIR_ORACLE_SQL,
+        "spider_trap_detect": _SPIDER_TRAP_ORACLE_SQL,
+        "recrawl_schedule": _RECRAWL_ORACLE_SQL,
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (
