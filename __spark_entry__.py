@@ -3447,6 +3447,79 @@ FROM scored s LEFT JOIN ranked r USING (doc_id), k
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/CCNet-style trained quality filter as multinomial NB in
+    integer millinats: English documents play the curated class,
+    doc_id%3<2 is the train split, every document scored + classified.
+    Closed-form training = two aggregations; oracle is the identical
+    program in SQL (same double-op grouping in the log-ratio)."""
+    from webcrawler_go_spark.operators.quality_clf import nb_quality_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return nb_quality_scores(
+        docs,
+        label_pred=(F.col("lang") == "en"),
+        train_pred=(F.col("doc_id") % 3 < 2),
+    )
+
+
+_QUALITY_CLF_ORACLE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, text, lang = 'en' AS is_positive,
+         doc_id % 3 < 2 AS in_train
+  FROM documents
+),
+arr AS (
+  SELECT doc_id, is_positive, in_train,
+         list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}_]+'),
+                     x -> x <> '') AS l
+  FROM docs
+),
+toks AS (
+  SELECT doc_id, is_positive, in_train, l[t.i] AS token
+  FROM arr, unnest(generate_series(1, len(l))) AS t(i)
+),
+model AS (
+  SELECT token,
+         SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN is_positive THEN 0 ELSE 1 END) AS n_neg
+  FROM toks WHERE in_train GROUP BY token
+),
+tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn, COUNT(*) AS v FROM model),
+nd AS (
+  SELECT SUM(CASE WHEN is_positive AND in_train THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN NOT is_positive AND in_train THEN 1 ELSE 0 END) AS nn
+  FROM docs
+),
+consts AS (
+  SELECT CAST(floor(1000.0 * ln(CAST(np AS DOUBLE) / nn)) AS BIGINT)
+           AS prior_milli,
+         CAST(floor(1000.0 * ln(CAST(tn + v AS DOUBLE) / (tp + v))) AS BIGINT)
+           AS unseen_milli
+  FROM nd, tot
+),
+w AS (
+  SELECT token,
+         CAST(floor(1000.0 * ln(
+               (CAST(n_pos + 1 AS DOUBLE) * CAST(tn + v AS DOUBLE))
+             / (CAST(n_neg + 1 AS DOUBLE) * CAST(tp + v AS DOUBLE))))
+           AS BIGINT) AS w_milli
+  FROM model, tot
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(COALESCE(w.w_milli, c.unseen_milli)) AS tok_sum
+  FROM toks t LEFT JOIN w USING (token), consts c
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.is_positive, d.in_train,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(c.prior_milli + COALESCE(p.tok_sum, 0) AS BIGINT) AS score_milli,
+       (c.prior_milli + COALESCE(p.tok_sum, 0)) >= 0 AS predicted
+FROM docs d LEFT JOIN per_doc p USING (doc_id), consts c
+"""
+
+
 def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
     URL corpus: collapse digit runs to the mint template, then flag
@@ -3694,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": q_bpe_encode_corpus,
         "spider_trap_detect": q_spider_trap_detect,
         "recrawl_schedule": q_recrawl_schedule,
+        "quality_classifier": q_quality_classifier,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4338,6 +4412,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "dsir_importance": _DSIR_ORACLE_SQL,
         "spider_trap_detect": _SPIDER_TRAP_ORACLE_SQL,
         "recrawl_schedule": _RECRAWL_ORACLE_SQL,
+        "quality_classifier": _QUALITY_CLF_ORACLE_SQL,
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (
