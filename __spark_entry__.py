@@ -3520,6 +3520,91 @@ FROM docs d LEFT JOIN per_doc p USING (doc_id), consts c
 """
 
 
+def q_urlseen_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 cardinality at the 10^10 shape: HyperLogLog estimate of the
+    distinct canonical-URL count (the reference reads its exact
+    ``visited`` map size for the stats block, crawler.go:1076-1110; a
+    1000-executor crawl replaces that with a 2^p-register mergeable
+    sketch so the only shuffle is ≤ m tiny rows — see
+    operators/sketches.py). p=10 fits this corpus' ~11.4k distinct
+    (raw-estimator regime n ≳ 2.5·m); the row carries the exact count
+    and the per-mille error so accuracy is ON the recorded record. The
+    1×1 est×exact combine is a sanctioned BNLJ (BNLJ_OK)."""
+    from webcrawler_go_spark.operators.sketches import hll_distinct
+
+    c = canon_corpus(spark, sf_dir).select("url_norm")
+    est = hll_distinct(c, "url_norm", p=10)
+    exact = c.agg(F.countDistinct("url_norm").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_registers",
+        "z_scaled",
+        "est_distinct",
+        "n_exact",
+        F.expr("abs(est_distinct - n_exact) * 1000 div n_exact").alias(
+            "err_permille"
+        ),
+    )
+
+
+def _urlseen_hll_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.sketches import hll_oracle_cte
+
+    return (
+        CANON_SQL
+        + ", src AS (SELECT url_norm FROM canon),"
+        + hll_oracle_cte("url_norm", p=10, src="src")
+        + """,
+exact AS (SELECT CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_exact FROM canon)
+SELECT h.n_registers, h.z_scaled, h.est_distinct, e.n_exact,
+       CAST(abs(h.est_distinct - e.n_exact) * 1000 // e.n_exact AS BIGINT)
+         AS err_permille
+FROM hll h, exact e
+"""
+    )
+
+
+def q_host_url_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-key sketch: distinct-URL estimate PER HOST (the frontier
+    scheduler's per-host queue-depth signal) from one groupBy over the
+    same registers — 41 sketches in a single ≤ 41·2^p-row exchange
+    instead of 41 COUNT(DISTINCT) passes. p=6 matches the ~280/host
+    cardinality; exact + per-mille error joined on for the record."""
+    from webcrawler_go_spark.operators.sketches import hll_distinct
+
+    c = canon_corpus(spark, sf_dir).select("host", "url_norm")
+    est = hll_distinct(c, "url_norm", p=6, keys=["host"])
+    exact = c.groupBy("host").agg(F.countDistinct("url_norm").alias("n_exact"))
+    return est.join(exact, "host").select(
+        "host",
+        "n_registers",
+        "est_distinct",
+        "n_exact",
+        F.expr("abs(est_distinct - n_exact) * 1000 div n_exact").alias(
+            "err_permille"
+        ),
+    )
+
+
+def _host_url_hll_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.sketches import hll_oracle_cte
+
+    return (
+        CANON_SQL
+        + ", src AS (SELECT host, url_norm FROM canon),"
+        + hll_oracle_cte("url_norm", p=6, src="src", keys_sql="host")
+        + """,
+exact AS (
+  SELECT host, CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_exact
+  FROM canon GROUP BY host
+)
+SELECT h.host, h.n_registers, h.est_distinct, e.n_exact,
+       CAST(abs(h.est_distinct - e.n_exact) * 1000 // e.n_exact AS BIGINT)
+         AS err_permille
+FROM hll h JOIN exact e USING (host)
+"""
+    )
+
+
 def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
     URL corpus: collapse digit runs to the mint template, then flag
@@ -3768,6 +3853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_trap_detect": q_spider_trap_detect,
         "recrawl_schedule": q_recrawl_schedule,
         "quality_classifier": q_quality_classifier,
+        "urlseen_hll": q_urlseen_hll,
+        "host_url_hll": q_host_url_hll,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4413,6 +4500,8 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "spider_trap_detect": _SPIDER_TRAP_ORACLE_SQL,
         "recrawl_schedule": _RECRAWL_ORACLE_SQL,
         "quality_classifier": _QUALITY_CLF_ORACLE_SQL,
+        "urlseen_hll": _urlseen_hll_oracle_sql(),
+        "host_url_hll": _host_url_hll_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

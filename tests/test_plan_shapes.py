@@ -17,7 +17,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # the one sanctioned quadratic: the labeled brute-force cosine baseline
 CARTESIAN_OK = {"embedding_cosine_pairs"}
 # sanctioned broadcast-nested-loop: crossJoin against a BOUNDED tiny dim
-BNLJ_OK: set[str] = set()
+# (urlseen_hll combines the 1-row sketch estimate with the 1-row exact
+# count for the on-record accuracy column — 1×1, never data-sized)
+BNLJ_OK: set[str] = {"urlseen_hll"}
 # derive small synthetic frames via createDataFrame → no parquet scan
 NO_SCAN = {"head_probe", "url_hash31", "robots_parse"}
 

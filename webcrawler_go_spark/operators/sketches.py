@@ -1,0 +1,209 @@
+"""Cardinality sketches for the URL-seen set (SURVEY.md §2.4 J1 at the
+10^10 scale; complements the Bloom/cuckoo membership path in
+``operators/dedup.py`` / ``operators/cuckoo.py``).
+
+The reference tracks crawl cardinalities with exact in-memory maps
+(crawler.go:52-63 ``visited map[string]bool`` + counters read back for
+the stats block, crawler.go:1076-1110). Exact counting is free on one
+box; on a 1000-executor cluster a ``COUNT(DISTINCT url)`` over a 10^10-row
+frontier is a full shuffle of every distinct URL string. The scale-correct
+answer is a **HyperLogLog register sketch** (Flajolet et al. 2007,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm"): m = 2^p fixed-size registers, mergeable by element-wise MAX,
+so per-partition sketches combine to the global one in O(m) bytes —
+map-side partial aggregation does exactly this for free, making the only
+shuffle ≤ m tiny rows per key group regardless of input size.
+
+Everything here is *deterministic and engine-portable* so the DuckDB
+oracle reproduces the estimate bit-for-bit:
+
+* hash = first 15 hex chars of md5 (60 bits) — Spark
+  ``conv(substring(md5(x),1,15),16,10)`` ≡ DuckDB
+  ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``;
+* register index = ``h % m`` (low p bits), witness ``w = h div m``
+  (60 − p bits);
+* rank = position of the lowest set bit of ``w`` (Flajolet-Martin style
+  trailing-zero geometric, distributionally identical to the leading-zero
+  form) computed as ``log2(w & -w) + 1`` — log2 of an exact power of two
+  is exact in IEEE double on every libm, the one log2 use that cannot
+  round differently across engines; ``w = 0`` → rank (61 − p);
+* the estimator is integer fixed point end-to-end: the harmonic sum
+  ``Z = Σ 2^-rank`` is scaled by 2^30 (every term ``2^30 div 2^rank`` is
+  an exact integer for rank ≤ 30 and floors to 0 past it, a truncation
+  both engines apply identically), absent registers contribute the full
+  2^30 (rank 0), and the alpha_m bias constant is pre-scaled to
+  micro-units. No float crosses an engine boundary.
+
+Precision picks the register count: standard error ≈ 1.04/sqrt(2^p).
+p=12 (3 KiB/sketch, ±1.6%) is the 10^10-frontier setting; the raw
+estimator (no small-range correction — corrections need ln() on
+data-dependent values, which is not bit-portable across libms) is
+accurate once n ≳ 2.5·m, so the demo queries at sf0.01 cardinalities use
+p=10 (global, n≈11k) and p=6 (per-host, n≈280). tests/test_sketches.py
+asserts the error bounds and the exact merge / duplicate-insensitivity
+laws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Z_SCALE = 1 << 30
+
+
+def _alpha_micro(m: int) -> int:
+    """alpha_m bias constant (Flajolet et al. §4) in micro-units —
+    a compile-time integer, embedded identically in Spark and oracle SQL."""
+    if m == 16:
+        a = 0.673
+    elif m == 32:
+        a = 0.697
+    elif m == 64:
+        a = 0.709
+    else:
+        a = 0.7213 / (1 + 1.079 / m)
+    return round(a * 1_000_000)
+
+
+def est_numerator(p: int) -> int:
+    """The estimator's fixed numerator alpha_m·m², pre-collapsed to one
+    exact integer so per-row math stays far below 2^63."""
+    m = 1 << p
+    return _alpha_micro(m) * m * m // 1_000_000
+
+
+def hll_prepare(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Append (bucket, rank) for ``col`` — the per-element sketch update.
+
+    Pure codegen column math: md5 → 60-bit int → low-p-bit register
+    index + trailing-zero rank of the (60−p)-bit witness.
+    """
+    m = 1 << p
+    rank_empty = 61 - p
+    h = F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+    out = df.withColumn("_hll_h", h)
+    out = out.withColumn("bucket", F.col("_hll_h") % m).withColumn(
+        "_hll_w", F.expr(f"_hll_h div {m}")
+    )
+    return out.withColumn(
+        "rank",
+        F.expr(
+            f"CASE WHEN _hll_w = 0 THEN {rank_empty} "
+            "ELSE CAST(log2(_hll_w & -_hll_w) AS INT) + 1 END"
+        ),
+    ).drop("_hll_h", "_hll_w")
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, keys: list[str] | None = None
+) -> DataFrame:
+    """The sketch itself: per (keys…, bucket) → MAX(rank).
+
+    MAX is associative/commutative, so Spark's partial (map-side)
+    aggregation builds each partition's full sketch locally and the
+    exchange carries ≤ m rows per key — the whole point at 10^10 inputs.
+    """
+    keys = list(keys or [])
+    prepared = hll_prepare(df, col, p)
+    return prepared.groupBy(*keys, "bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_merge(*register_sets: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge sketches: union the register tables, re-MAX per bucket.
+
+    Exactly the HLL merge law — ``hll_registers(A ∪ B)`` ≡
+    ``hll_merge(hll_registers(A), hll_registers(B))`` (tested)."""
+    keys = list(keys or [])
+    merged = register_sets[0]
+    for r in register_sets[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy(*keys, "bucket").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 12, keys: list[str] | None = None
+) -> DataFrame:
+    """Registers → integer cardinality estimate per key group.
+
+    Z_scaled = Σ_present (2^30 div 2^rank) + (m − n_present)·2^30 (the
+    absent registers are rank 0), estimate = (alpha·m²)·2^30 div Z_scaled
+    — all BIGINT, floor division, engine-portable.
+    """
+    keys = list(keys or [])
+    m = 1 << p
+    num = est_numerator(p)
+    term = F.expr(f"CAST({_Z_SCALE} AS BIGINT) div shiftleft(CAST(1 AS BIGINT), rank)")
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(term).alias("_z_present"),
+    )
+    return agg.select(
+        *keys,
+        "n_registers",
+        F.expr(f"_z_present + ({m} - n_registers) * CAST({_Z_SCALE} AS BIGINT)").alias(
+            "z_scaled"
+        ),
+        F.expr(
+            f"CAST({num} AS BIGINT) * {_Z_SCALE} div "
+            f"(_z_present + ({m} - n_registers) * CAST({_Z_SCALE} AS BIGINT))"
+        ).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 12, keys: list[str] | None = None
+) -> DataFrame:
+    """One-shot: sketch + estimate. The drop-in replacement for
+    ``COUNT(DISTINCT col)`` when ~1.04/sqrt(2^p) relative error suffices
+    and the input is huge."""
+    return hll_estimate(hll_registers(df, col, p, keys), p, keys)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL fragments (DuckDB) — mirrors of the expressions above, kept
+# next to the Spark forms so a change to one side is visible in the diff.
+# ---------------------------------------------------------------------------
+
+def hll_oracle_cte(
+    col_expr: str, p: int, src: str, keys_sql: str = "", out: str = "hll"
+) -> str:
+    """DuckDB CTE chain (no leading WITH) whose final member ``out``
+    holds (keys…, n_registers, z_scaled, est_distinct) over ``src`` —
+    the bit-exact twin of ``hll_distinct``. ``keys_sql`` is a
+    comma-separated key-column list ('' for a global sketch)."""
+    m = 1 << p
+    rank_empty = 61 - p
+    num = est_numerator(p)
+    kcols = [k.strip() for k in keys_sql.split(",") if k.strip()]
+    ksel = "".join(k + ", " for k in kcols)
+    group_regs = "GROUP BY " + ", ".join(kcols + ["bucket"])
+    group_est = ("GROUP BY " + ", ".join(kcols)) if kcols else ""
+    return f"""
+{out}_hashed AS (
+  SELECT {ksel}CAST('0x' || substr(md5({col_expr}), 1, 15) AS BIGINT) AS h
+  FROM {src}
+),
+{out}_ranked AS (
+  SELECT {ksel}h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN {rank_empty}
+              ELSE CAST(log2((h // {m}) & -(h // {m})) AS INT) + 1 END AS rank
+  FROM {out}_hashed
+),
+{out}_regs AS (
+  SELECT {ksel}bucket, MAX(rank) AS rank FROM {out}_ranked {group_regs}
+),
+{out}_est AS (
+  SELECT {ksel}COUNT(*) AS n_registers,
+         SUM(CAST({_Z_SCALE} AS BIGINT) // (CAST(1 AS BIGINT) << rank)) AS z_present
+  FROM {out}_regs {group_est}
+),
+{out} AS (
+  SELECT {ksel}CAST(n_registers AS BIGINT) AS n_registers,
+         CAST(z_present + ({m} - n_registers) * CAST({_Z_SCALE} AS BIGINT) AS BIGINT)
+           AS z_scaled,
+         CAST(CAST({num} AS BIGINT) * {_Z_SCALE} //
+              (z_present + ({m} - n_registers) * CAST({_Z_SCALE} AS BIGINT)) AS BIGINT)
+           AS est_distinct
+  FROM {out}_est
+)"""
