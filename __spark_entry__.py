@@ -3605,6 +3605,75 @@ FROM hll h JOIN exact e USING (host)
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency sketch (count-min, Cormode-Muthukrishnan 2005) finding
+    heavy-hitter pages in a skewed visit stream: 1/3 of visits hammer 7
+    hot pages, the rest spread over 499. The d×w counter table (16k
+    rows) is built with one sketch-sized shuffle and broadcast to the
+    candidate lookup — at 10^10 visits the URL-keyed exact groupBy this
+    replaces is the bottleneck shuffle. Every candidate row records
+    est/exact/overestimate (CMS law: est ≥ exact, never under) and the
+    φ=1/60 heavy-hitter verdict; the 1-row total join is a sanctioned
+    BNLJ (BNLJ_OK)."""
+    from webcrawler_go_spark.operators.sketches import cms_build, cms_lookup
+
+    li = _t(spark, sf_dir, "lineitem")
+    page = (
+        F.when(F.col("l_orderkey") % 3 == 0, F.col("l_orderkey") % 7)
+        .otherwise(F.col("l_orderkey") % 499)
+    )
+    visits = li.select(
+        F.concat(F.lit("https://hot.test/page/"), page.cast("string")).alias(
+            "url"
+        )
+    )
+    sketch = cms_build(visits, "url")
+    est = cms_lookup(sketch, visits.distinct(), "url")
+    exact = visits.groupBy("url").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = visits.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.join(exact, "url")
+        .crossJoin(total)
+        .select(
+            "url",
+            "est_count",
+            "exact_count",
+            F.expr("(est_count - exact_count) * 1000 div exact_count").alias(
+                "over_permille"
+            ),
+            (F.col("est_count") * 60 >= F.col("n_total")).alias("is_heavy"),
+        )
+    )
+
+
+def _cms_heavy_hitters_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.sketches import cms_oracle_cte
+
+    return (
+        """
+WITH visits AS (
+  SELECT 'https://hot.test/page/' ||
+         CAST(CASE WHEN l_orderkey % 3 = 0 THEN l_orderkey % 7
+                   ELSE l_orderkey % 499 END AS VARCHAR) AS url
+  FROM lineitem
+),
+cand AS (SELECT DISTINCT url FROM visits),"""
+        + cms_oracle_cte(
+            col_expr="url", src="visits", cand_src="cand", cand_col="url"
+        )
+        + """,
+exact AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM visits GROUP BY url),
+tot AS (SELECT COUNT(*) AS n_total FROM visits)
+SELECT c.url, c.est_count, e.exact_count,
+       CAST((c.est_count - e.exact_count) * 1000 // e.exact_count AS BIGINT)
+         AS over_permille,
+       c.est_count * 60 >= t.n_total AS is_heavy
+FROM cms c JOIN exact e USING (url), tot t
+"""
+    )
+
+
 def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
     URL corpus: collapse digit runs to the mint template, then flag
@@ -3855,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "urlseen_hll": q_urlseen_hll,
         "host_url_hll": q_host_url_hll,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4502,6 +4572,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "quality_classifier": _QUALITY_CLF_ORACLE_SQL,
         "urlseen_hll": _urlseen_hll_oracle_sql(),
         "host_url_hll": _host_url_hll_oracle_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

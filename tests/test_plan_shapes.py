@@ -17,9 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 # the one sanctioned quadratic: the labeled brute-force cosine baseline
 CARTESIAN_OK = {"embedding_cosine_pairs"}
 # sanctioned broadcast-nested-loop: crossJoin against a BOUNDED tiny dim
-# (urlseen_hll combines the 1-row sketch estimate with the 1-row exact
-# count for the on-record accuracy column — 1×1, never data-sized)
-BNLJ_OK: set[str] = {"urlseen_hll"}
+# (urlseen_hll / cms_heavy_hitters combine a 1-row total/exact agg with
+# the sketch output for the on-record accuracy columns — 1-row dim,
+# never data-sized)
+BNLJ_OK: set[str] = {"urlseen_hll", "cms_heavy_hitters"}
 # derive small synthetic frames via createDataFrame → no parquet scan
 NO_SCAN = {"head_probe", "url_hash31", "robots_parse"}
 

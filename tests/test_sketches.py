@@ -8,6 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from webcrawler_go_spark.operators.sketches import (
+    cms_build,
+    cms_lookup,
+    cms_merge,
     hll_distinct,
     hll_merge,
     hll_registers,
@@ -101,3 +104,79 @@ def test_rank_domain(spark):
     for r in regs:
         assert 0 <= r["bucket"] < 4096
         assert 1 <= r["rank"] <= 49
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch laws
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n=9000):
+    # 1/3 of visits hit 5 hot keys, the rest spread over 300
+    return spark.range(0, n).select(
+        F.concat(
+            F.lit("k"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 5)
+            .otherwise(F.col("id") % 300)
+            .cast("string"),
+        ).alias("u")
+    )
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS law: collisions only ADD — est ≥ exact for every key."""
+    df = _skewed(spark)
+    sketch = cms_build(df, "u", w=512, d=4)
+    est = {
+        r["u"]: r["est_count"]
+        for r in cms_lookup(sketch, df.distinct(), "u", w=512, d=4).collect()
+    }
+    exact = {
+        r["u"]: r["n"]
+        for r in df.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for k, e in est.items():
+        assert e >= exact[k], k
+        # Markov bound per row: overshoot ≤ e·N/w at prob 1−e^-4; allow 2×
+        assert e - exact[k] <= 2 * 2.72 * n_total / 512, (k, e, exact[k])
+
+
+def test_cms_merge_is_bucketwise_sum(spark):
+    df = spark.range(0, 6000).select(
+        "id", F.concat(F.lit("k"), (F.col("id") % 300).cast("string")).alias("u")
+    )
+    a = df.filter(F.col("id") % 2 == 0).select("u")
+    b = df.filter(F.col("id") % 2 == 1).select("u")
+    whole = sorted(
+        (r["j"], r["bucket"], r["c"])
+        for r in cms_build(df.select("u"), "u", w=256).collect()
+    )
+    merged = sorted(
+        (r["j"], r["bucket"], r["c"])
+        for r in cms_merge(
+            cms_build(a, "u", w=256), cms_build(b, "u", w=256)
+        ).collect()
+    )
+    assert merged == whole
+
+
+def test_cms_unseen_key_small(spark):
+    df = _skewed(spark)
+    sketch = cms_build(df, "u", w=1024, d=4)
+    unseen = spark.range(0, 1).select(F.lit("never-seen-key").alias("u"))
+    est = cms_lookup(sketch, unseen, "u", w=1024, d=4).collect()[0]["est_count"]
+    assert 0 <= est <= 2.72 * 9000 / 1024 * 2
+
+
+def test_cms_identifies_heavy_hitters(spark):
+    """The demo semantics: the 5 hot keys (each ~N/15) are exactly the
+    keys whose estimate crosses φ=1/60·N — no false positives from the
+    ~N/450 tail at w=4096."""
+    df = _skewed(spark)
+    sketch = cms_build(df, "u")
+    est = cms_lookup(sketch, df.distinct(), "u").collect()
+    n_total = df.count()
+    heavy = {r["u"] for r in est if r["est_count"] * 60 >= n_total}
+    assert heavy == {"k0", "k1", "k2", "k3", "k4"}

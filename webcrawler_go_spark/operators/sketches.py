@@ -161,6 +161,116 @@ def hll_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications") — the
+# FREQUENCY member of the sketch family (Bloom/cuckoo = membership,
+# HLL = cardinality). d independent hash rows × w counters; point
+# estimate = MIN over rows of the hashed counter. Guarantees
+# est ≥ true (pure overestimate, tested as a law) and
+# est ≤ true + εN with ε = e/w at probability 1 − e^-d. Use: heavy-
+# hitter URLs / hot hosts over a 10^10-row visit stream where the d·w
+# counter table (a few thousand rows, broadcastable) replaces a full
+# URL-keyed shuffle when only approximate counts above a threshold
+# matter. Sketches from disjoint inputs merge by bucket-wise SUM
+# (tested). Same engine-portable hash as HLL: per-row salt ``j:`` then
+# md5-hex-15 → BIGINT.
+# ---------------------------------------------------------------------------
+
+CMS_W = 4096
+CMS_D = 4
+
+
+def _cms_bucket(col, j, w: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"), F.col(col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % w
+
+
+def cms_build(df: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Stream → sketch: (j, bucket) → COUNT. One groupBy over d·|input|
+    narrow rows; partial aggregation collapses each partition to ≤ d·w
+    rows before the exchange, so the shuffle is sketch-sized, not
+    input-sized."""
+    rows = df.select(F.col(col).alias("_x")).withColumn(
+        "j", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+    )
+    return (
+        rows.select("j", _cms_bucket("_x", F.col("j"), w).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Counters are linear: merge = bucket-wise SUM of the union."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Point estimate per candidate: MIN over the d hashed counters.
+
+    The sketch is d·w rows by construction → broadcast hash join; the
+    candidate stream never shuffles on its key."""
+    cand = candidates.withColumn(
+        "j", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+    )
+    cand = cand.withColumn("bucket", _cms_bucket(col, F.col("j"), w))
+    joined = cand.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return (
+        joined.groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_oracle_cte(
+    col_expr: str,
+    src: str,
+    cand_src: str,
+    cand_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+    out: str = "cms",
+) -> str:
+    """DuckDB twin of cms_build + cms_lookup: final CTE ``out`` holds
+    (cand_col, est_count)."""
+    salted = (
+        f"CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || {{v}}), 1, 15)"
+        " AS BIGINT)"
+    )
+    h_build = salted.format(v=col_expr)
+    h_cand = salted.format(v=cand_col)
+    return f"""
+{out}_rows AS (SELECT unnest([{", ".join(str(i) for i in range(d))}]) AS j),
+{out}_sketch AS (
+  SELECT t.j, ({h_build}) % {w} AS bucket, COUNT(*) AS c
+  FROM {src}, {out}_rows t GROUP BY 1, 2
+),
+{out}_cand AS (
+  SELECT {cand_col}, t.j, ({h_cand}) % {w} AS bucket
+  FROM {cand_src}, {out}_rows t
+),
+{out} AS (
+  SELECT c.{cand_col}, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS est_count
+  FROM {out}_cand c LEFT JOIN {out}_sketch s USING (j, bucket)
+  GROUP BY c.{cand_col}
+)"""
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL fragments (DuckDB) — mirrors of the expressions above, kept
 # next to the Spark forms so a change to one side is visible in the diff.
 # ---------------------------------------------------------------------------
