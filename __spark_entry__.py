@@ -3674,6 +3674,33 @@ FROM cms c JOIN exact e USING (url), tot t
     )
 
 
+def q_fetch_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-latency SLO percentiles (p50/p90/p99) via
+    fixed-width histogram quantiles: an exact p99 over 10^10 fetches
+    needs a global sort; the histogram needs one bucket-keyed shuffle
+    bounded by the value range (≤98 buckets/host here), then a
+    cumulative Window over that tiny table. True quantile lies within
+    [p, p+10ms) by construction (tested). Latency synthesized
+    deterministically from k (20 + k² mod 980 ms)."""
+    from webcrawler_go_spark.operators.sketches import histogram_quantiles
+
+    c = canon_corpus(spark, sf_dir).select(
+        "host", F.expr("20 + (k * k % 980)").alias("lat_ms")
+    )
+    return histogram_quantiles(c, "lat_ms", ["host"], width=10)
+
+
+def _fetch_latency_quantiles_oracle_sql() -> str:
+    from webcrawler_go_spark.operators.sketches import histogram_quantiles_sql
+
+    return (
+        CANON_SQL
+        + ", src AS (SELECT host, 20 + (k * k % 980) AS lat_ms FROM canon),"
+        + histogram_quantiles_sql("lat_ms", "src", "host", 10)
+        + "\nSELECT host, n, p50, p90, p99 FROM hq\n"
+    )
+
+
 def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
     URL corpus: collapse digit runs to the mint template, then flag
@@ -3925,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urlseen_hll": q_urlseen_hll,
         "host_url_hll": q_host_url_hll,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "fetch_latency_quantiles": q_fetch_latency_quantiles,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4573,6 +4601,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "urlseen_hll": _urlseen_hll_oracle_sql(),
         "host_url_hll": _host_url_hll_oracle_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle_sql(),
+        "fetch_latency_quantiles": _fetch_latency_quantiles_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

@@ -11,6 +11,7 @@ from webcrawler_go_spark.operators.sketches import (
     cms_build,
     cms_lookup,
     cms_merge,
+    histogram_quantiles,
     hll_distinct,
     hll_merge,
     hll_registers,
@@ -168,6 +169,35 @@ def test_cms_unseen_key_small(spark):
     unseen = spark.range(0, 1).select(F.lit("never-seen-key").alias("u"))
     est = cms_lookup(sketch, unseen, "u", w=1024, d=4).collect()[0]["est_count"]
     assert 0 <= est <= 2.72 * 9000 / 1024 * 2
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile laws
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_within_bucket_of_exact(spark):
+    """p_q ≤ exact lower-quantile < p_q + width, per key."""
+    import math
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 700 + 10).alias("v"),
+    )
+    out = {
+        r["g"]: r
+        for r in histogram_quantiles(df, "v", ["g"], width=10).collect()
+    }
+    rows = df.collect()
+    for g in ("0", "1", "2"):
+        vals = sorted(r["v"] for r in rows if r["g"] == g)
+        n = len(vals)
+        assert out[g]["n"] == n
+        for q in (50, 90, 99):
+            exact = vals[math.ceil(q * n / 100) - 1]
+            p = out[g][f"p{q}"]
+            assert p <= exact < p + 10, (g, q, p, exact)
+        assert out[g]["p50"] <= out[g]["p90"] <= out[g]["p99"]
 
 
 def test_cms_identifies_heavy_hitters(spark):

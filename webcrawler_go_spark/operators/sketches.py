@@ -271,9 +271,85 @@ def cms_oracle_cte(
 
 
 # ---------------------------------------------------------------------------
-# Oracle SQL fragments (DuckDB) — mirrors of the expressions above, kept
-# next to the Spark forms so a change to one side is visible in the diff.
+# Histogram quantiles — the QUANTILE member of the summary family. An
+# exact p99 over 10^10 fetch latencies needs a global sort (or a
+# driver-side approxQuantile, which is neither distributed-output nor
+# reproducible); a fixed-width histogram needs ONE bucket-keyed shuffle
+# whose size is bounded by the value range, then a cumulative Window
+# over the tiny per-key histogram. Quantile = lower edge of the first
+# bucket whose cumulative count reaches ceil(q·n) — deterministic
+# integer comparisons only (cum·100 ≥ q_pct·n), bit-portable to the
+# SQL oracle. Error is bounded by the bucket width, by construction.
 # ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    width: int,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-key approximate quantiles of an integer column via
+    fixed-width buckets. Output: keys…, n, p{q} (bucket lower edge —
+    true quantile lies within [p, p+width))."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        *keys, F.expr(f"{value_col} div {width}").alias("bucket")
+    )
+    hist = b.groupBy(*keys, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_all = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        aggs.append(
+            (
+                F.min(F.when(F.expr(f"cum * 100 >= {q} * n"), F.col("bucket")))
+                * width
+            ).alias(f"p{q}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    value_expr: str,
+    src: str,
+    keys_sql: str,
+    width: int,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+    out: str = "hq",
+) -> str:
+    """DuckDB twin of histogram_quantiles; final CTE ``out``."""
+    kcols = [k.strip() for k in keys_sql.split(",") if k.strip()]
+    ksel = "".join(k + ", " for k in kcols)
+    kby = ", ".join(kcols) if kcols else ""
+    part = f"PARTITION BY {kby}" if kby else ""
+    qcols = ",\n         ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= {q} * n THEN bucket END) * {width}"
+        f" AS BIGINT) AS p{q}"
+        for q in quantiles
+    )
+    group = f"GROUP BY {kby}" if kby else ""
+    return f"""
+{out}_hist AS (
+  SELECT {ksel}{value_expr} // {width} AS bucket, COUNT(*) AS c
+  FROM {src} GROUP BY {(", ".join(kcols + ["bucket"]))}
+),
+{out}_cum AS (
+  SELECT {ksel}bucket, c,
+         SUM(c) OVER ({part} ORDER BY bucket) AS cum,
+         SUM(c) OVER ({part}) AS n
+  FROM {out}_hist
+),
+{out} AS (
+  SELECT {ksel}CAST(MAX(n) AS BIGINT) AS n,
+         {qcols}
+  FROM {out}_cum {group}
+)"""
 
 def hll_oracle_cte(
     col_expr: str, p: int, src: str, keys_sql: str = "", out: str = "hll"
