@@ -18,6 +18,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 # the engine package lives next to this file; make imports work no matter
 # which cwd the driver invokes from
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -3701,6 +3703,112 @@ def _fetch_latency_quantiles_oracle_sql() -> str:
     )
 
 
+def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's 10^10 path as a DRIVER ROW (previously pytest-only): the
+    sharded broadcast-Bloom seen-filter (per-partition bitmap build →
+    treeReduce OR → pmod shard routing through the Arrow lookup kernel,
+    dedup.py:137-190) audited against the exact seen set. One row:
+    candidate/seen/maybe-seen counts, the deterministic false-positive
+    count, and n_false_negative — structurally 0, the no-false-negative
+    law that makes the filter SAFE as a pre-shuffle prune. Oracle =
+    `bloom_audit_sequential`, the same bitmap math built by one scalar
+    loop (golden VALUES): what's proven is the distributed plumbing.
+    Hash is the engine's str_hash64 family (hashing.py docstring:
+    shared with sequential references by design)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from webcrawler_go_spark.hashing import str_hash64_np
+    from webcrawler_go_spark.operators.dedup import bloom_prefilter_sharded
+
+    @pandas_udf("long")
+    def h64(u: pd.Series) -> pd.Series:
+        # bit-reinterpret uint64 → int64 (astype would overflow-check)
+        return pd.Series(str_hash64_np(u.tolist()).view("int64"))
+
+    cand = (
+        canon_corpus(spark, sf_dir)
+        .groupBy("url_norm")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "url_norm",
+            h64("url_norm").alias("url_hash"),
+            (F.col("k") % 3 == 0).alias("actually_seen"),
+        )
+    )
+    seen = cand.filter("actually_seen").select("url_hash", "url_norm")
+    new_df, maybe_df = bloom_prefilter_sharded(cand, seen, n_shards=4)
+    flagged = new_df.withColumn("maybe_seen", F.lit(False)).unionByName(
+        maybe_df.withColumn("maybe_seen", F.lit(True))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("actually_seen").cast("long")).alias("n_seen"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("n_maybe_seen"),
+        F.sum(
+            (F.col("maybe_seen") & ~F.col("actually_seen")).cast("long")
+        ).alias("n_false_positive"),
+        F.sum(
+            (~F.col("maybe_seen") & F.col("actually_seen")).cast("long")
+        ).alias("n_false_negative"),
+    )
+
+
+def _bloom_seen_audit_oracle_sql() -> str:
+    """Golden VALUES from the sequential sharded-Bloom reference over a
+    Python restatement of the sf0.01 URL corpus (formula ≡
+    URL_CORPUS_SQL; canonicalizer = `_canon_one`, parity-tested against
+    the Column form in test_urls.py)."""
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.functions.urls import _canon_one
+    from webcrawler_go_spark.hashing import str_hash64
+    from webcrawler_go_spark.operators.dedup import bloom_audit_sequential
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS n_candidates, CAST(NULL AS BIGINT)"
+            " AS n_seen, CAST(NULL AS BIGINT) AS n_maybe_seen, CAST(NULL AS"
+            " BIGINT) AS n_false_positive, CAST(NULL AS BIGINT) AS"
+            " n_false_negative WHERE false"
+        )
+    min_k: dict[str, int] = {}
+    for k, ck in zip(
+        tbl.column("o_orderkey").to_pylist(), tbl.column("o_custkey").to_pylist()
+    ):
+        host = f"host-{ck % 41:04d}.test"
+        if k % 13 == 0:
+            host = host.upper()
+        scheme = "" if k % 17 == 0 else ("HTTP://" if k % 17 == 1 else "https://")
+        path = "" if k % 5 == 0 else f"/page/{k % 997}"
+        query = f"?session={k % 100}" if k % 7 == 0 else ""
+        frag = f"#sec-{k % 10}" if k % 11 == 0 else ""
+        norm = _canon_one(scheme + host + path + query + frag, False)
+        if norm not in min_k or k < min_k[norm]:
+            min_k[norm] = k
+    to_signed = lambda h: h - (1 << 64) if h >= (1 << 63) else h  # noqa: E731
+    all_hashes = [to_signed(str_hash64(u)) for u in min_k]
+    seen_hashes = [
+        to_signed(str_hash64(u)) for u, k in min_k.items() if k % 3 == 0
+    ]
+    c = bloom_audit_sequential(seen_hashes, all_hashes, n_shards=4)
+    return (
+        "SELECT CAST(n_candidates AS BIGINT) AS n_candidates,"
+        " CAST(n_seen AS BIGINT) AS n_seen,"
+        " CAST(n_maybe_seen AS BIGINT) AS n_maybe_seen,"
+        " CAST(n_false_positive AS BIGINT) AS n_false_positive,"
+        " CAST(n_false_negative AS BIGINT) AS n_false_negative"
+        f" FROM (VALUES ({c['n_candidates']}, {c['n_seen']},"
+        f" {c['n_maybe_seen']}, {c['n_false_positive']},"
+        f" {c['n_false_negative']})) AS t(n_candidates, n_seen,"
+        " n_maybe_seen, n_false_positive, n_false_negative)"
+    )
+
+
 def q_spider_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spider-trap detection (Mercator, WWW 1999 §4) over the discovered
     URL corpus: collapse digit runs to the mint template, then flag
@@ -3953,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_hll": q_host_url_hll,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "fetch_latency_quantiles": q_fetch_latency_quantiles,
+        "bloom_seen_audit": q_bloom_seen_audit,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4602,6 +4711,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "host_url_hll": _host_url_hll_oracle_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle_sql(),
         "fetch_latency_quantiles": _fetch_latency_quantiles_oracle_sql(),
+        "bloom_seen_audit": _bloom_seen_audit_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (

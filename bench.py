@@ -48,6 +48,8 @@ HEADLINE = [
     "pagerank",                 # integer fixed-point, 3 shuffle-join rounds
     "embedding_cosine_tiled",   # exact all-pairs via block tile GEMM
     "media_tiff_container",     # S10 TIFF wrapper round-trip per row
+    "urlseen_hll",              # sketch family: fixed-point HLL cardinality
+    "fetch_latency_quantiles",  # histogram p50/p90/p99, no global sort
 ]
 
 

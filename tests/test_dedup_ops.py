@@ -89,6 +89,34 @@ def test_sharded_bloom_matches_monolithic(spark):
     assert {r.url_hash for r in exact.collect()} == set(range(0, 1000))
 
 
+def test_distributed_bloom_audit_matches_sequential(spark):
+    """The audit-row contract: the distributed sharded build (partition
+    bitmaps → treeReduce OR → broadcast, pmod routing) reproduces the
+    scalar single-loop reference count-for-count, including the exact
+    false-positive count."""
+    from webcrawler_go_spark.operators.dedup import (
+        bloom_audit_sequential,
+        bloom_prefilter_sharded,
+    )
+
+    all_hashes = [h * 2654435761 - 10**15 for h in range(3000)]
+    seen_hashes = all_hashes[::3]
+    cand = spark.createDataFrame(
+        [(h, h in set(seen_hashes)) for h in all_hashes],
+        "url_hash long, actually_seen boolean",
+    )
+    seen = cand.filter("actually_seen").select("url_hash")
+    new_df, maybe_df = bloom_prefilter_sharded(cand, seen, n_shards=4)
+    ref = bloom_audit_sequential(seen_hashes, all_hashes, n_shards=4)
+    n_new, n_maybe = new_df.count(), maybe_df.count()
+    assert n_new + n_maybe == ref["n_candidates"]
+    assert n_maybe == ref["n_maybe_seen"]
+    fp = maybe_df.filter(~F.col("actually_seen")).count()
+    fn = new_df.filter(F.col("actually_seen")).count()
+    assert fp == ref["n_false_positive"]
+    assert fn == ref["n_false_negative"] == 0
+
+
 def test_empty_seen_passthrough(spark):
     cand = spark.range(5).select(
         F.col("id").alias("url_hash"), F.col("id").cast("string").alias("url_norm")
