@@ -3703,6 +3703,40 @@ def _fetch_latency_quantiles_oracle_sql() -> str:
     )
 
 
+def _str_hash64_udf():
+    """Arrow-batched column form of the engine's str_hash64 (factory —
+    UDF registration needs an active session)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from webcrawler_go_spark.hashing import str_hash64_np
+
+    @pandas_udf("long")
+    def h64(u: pd.Series) -> pd.Series:
+        # bit-reinterpret uint64 → int64 (astype would overflow-check)
+        return pd.Series(str_hash64_np(u.tolist()).view("int64"))
+
+    return h64
+
+
+def _hashed_seen_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the seen-filter audit rows: one row per
+    distinct canonical URL with its engine hash, the seen flag
+    (min-k ≡ 0 mod 3) and the blocked-requeue flag (seen ∧ k ≡ 0 mod 5,
+    the visited.Delete population)."""
+    h64 = _str_hash64_udf()
+    return (
+        canon_corpus(spark, sf_dir)
+        .groupBy("url_norm")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "url_norm",
+            h64("url_norm").alias("url_hash"),
+            (F.col("k") % 3 == 0).alias("actually_seen"),
+            ((F.col("k") % 3 == 0) & (F.col("k") % 5 == 0)).alias("requeued"),
+        )
+    )
+
+
 def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1's 10^10 path as a DRIVER ROW (previously pytest-only): the
     sharded broadcast-Bloom seen-filter (per-partition bitmap build →
@@ -3715,25 +3749,10 @@ def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (golden VALUES): what's proven is the distributed plumbing.
     Hash is the engine's str_hash64 family (hashing.py docstring:
     shared with sequential references by design)."""
-    from pyspark.sql.functions import pandas_udf
-
-    from webcrawler_go_spark.hashing import str_hash64_np
     from webcrawler_go_spark.operators.dedup import bloom_prefilter_sharded
 
-    @pandas_udf("long")
-    def h64(u: pd.Series) -> pd.Series:
-        # bit-reinterpret uint64 → int64 (astype would overflow-check)
-        return pd.Series(str_hash64_np(u.tolist()).view("int64"))
-
-    cand = (
-        canon_corpus(spark, sf_dir)
-        .groupBy("url_norm")
-        .agg(F.min("k").alias("k"))
-        .select(
-            "url_norm",
-            h64("url_norm").alias("url_hash"),
-            (F.col("k") % 3 == 0).alias("actually_seen"),
-        )
+    cand = _hashed_seen_candidates(spark, sf_dir).select(
+        "url_norm", "url_hash", "actually_seen"
     )
     seen = cand.filter("actually_seen").select("url_hash", "url_norm")
     new_df, maybe_df = bloom_prefilter_sharded(cand, seen, n_shards=4)
@@ -3753,16 +3772,17 @@ def q_bloom_seen_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bloom_seen_audit_oracle_sql() -> str:
-    """Golden VALUES from the sequential sharded-Bloom reference over a
-    Python restatement of the sf0.01 URL corpus (formula ≡
-    URL_CORPUS_SQL; canonicalizer = `_canon_one`, parity-tested against
-    the Column form in test_urls.py)."""
+def _oracle_corpus_min_k() -> tuple[list[int], list[int], list[int]] | None:
+    """Python restatement of the sf0.01 URL corpus for the seen-filter
+    audit oracles (formula ≡ URL_CORPUS_SQL; canonicalizer =
+    `_canon_one`, parity-tested against the Column form in
+    test_urls.py). Returns (all_hashes, seen_hashes, requeued_hashes)
+    over distinct canonical URLs keyed by min-k, or None when the
+    oracle sf dir is absent."""
     import pyarrow.parquet as pq
 
     from webcrawler_go_spark.functions.urls import _canon_one
     from webcrawler_go_spark.hashing import str_hash64
-    from webcrawler_go_spark.operators.dedup import bloom_audit_sequential
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
@@ -3770,12 +3790,7 @@ def _bloom_seen_audit_oracle_sql() -> str:
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
         )
     except (OSError, FileNotFoundError):
-        return (
-            "SELECT CAST(NULL AS BIGINT) AS n_candidates, CAST(NULL AS BIGINT)"
-            " AS n_seen, CAST(NULL AS BIGINT) AS n_maybe_seen, CAST(NULL AS"
-            " BIGINT) AS n_false_positive, CAST(NULL AS BIGINT) AS"
-            " n_false_negative WHERE false"
-        )
+        return None
     min_k: dict[str, int] = {}
     for k, ck in zip(
         tbl.column("o_orderkey").to_pylist(), tbl.column("o_custkey").to_pylist()
@@ -3795,6 +3810,28 @@ def _bloom_seen_audit_oracle_sql() -> str:
     seen_hashes = [
         to_signed(str_hash64(u)) for u, k in min_k.items() if k % 3 == 0
     ]
+    requeued_hashes = [
+        to_signed(str_hash64(u))
+        for u, k in min_k.items()
+        if k % 3 == 0 and k % 5 == 0
+    ]
+    return all_hashes, seen_hashes, requeued_hashes
+
+
+def _bloom_seen_audit_oracle_sql() -> str:
+    """Golden VALUES from the sequential sharded-Bloom reference over
+    the shared Python corpus restatement (`_oracle_corpus_min_k`)."""
+    from webcrawler_go_spark.operators.dedup import bloom_audit_sequential
+
+    corpus = _oracle_corpus_min_k()
+    if corpus is None:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS n_candidates, CAST(NULL AS BIGINT)"
+            " AS n_seen, CAST(NULL AS BIGINT) AS n_maybe_seen, CAST(NULL AS"
+            " BIGINT) AS n_false_positive, CAST(NULL AS BIGINT) AS"
+            " n_false_negative WHERE false"
+        )
+    all_hashes, seen_hashes, _ = corpus
     c = bloom_audit_sequential(seen_hashes, all_hashes, n_shards=4)
     return (
         "SELECT CAST(n_candidates AS BIGINT) AS n_candidates,"
@@ -3806,6 +3843,90 @@ def _bloom_seen_audit_oracle_sql() -> str:
         f" {c['n_maybe_seen']}, {c['n_false_positive']},"
         f" {c['n_false_negative']})) AS t(n_candidates, n_seen,"
         " n_maybe_seen, n_false_positive, n_false_negative)"
+    )
+
+
+def q_cuckoo_requeue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cuckoo seen-filter (J1's other 10^10 path — the one with
+    DELETE, mirroring visited.Delete on blocked-page requeue,
+    crawler.go:316 / J3) as a driver row, previously pytest-only:
+    deterministic-layout build (ascending-hash inserts, then sorted
+    requeue deletions) on the documented driver path, broadcast, Arrow
+    lookup kernel over every candidate. One row audits the laws:
+    n_fn_active ≡ 0 (an inserted-and-not-deleted key is always found —
+    the safety property), requeued keys drop to the exact fingerprint-
+    collision residue, unseen keys false-positive at the counted rate.
+    Oracle = `cuckoo_audit_sequential`, same build + scalar loop."""
+    from pyspark.sql.functions import pandas_udf
+
+    from webcrawler_go_spark.operators.cuckoo import cuckoo_build_deterministic
+
+    cand = _hashed_seen_candidates(spark, sf_dir)
+    seen_hashes = [
+        r[0]
+        for r in cand.filter("actually_seen")
+        .select("url_hash")
+        .orderBy("url_hash")
+        .collect()
+    ]
+    requeued_hashes = [
+        r[0]
+        for r in cand.filter("requeued")
+        .select("url_hash")
+        .orderBy("url_hash")
+        .collect()
+    ]
+    cf = cuckoo_build_deterministic(seen_hashes, requeued_hashes)
+    b = spark.sparkContext.broadcast(cf)
+
+    @pandas_udf("boolean")
+    def cf_contains(h: pd.Series) -> pd.Series:
+        return pd.Series(b.value.contains_many(h.to_numpy()))
+
+    flagged = cand.withColumn("found", cf_contains(F.col("url_hash")))
+    active = F.col("actually_seen") & ~F.col("requeued")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("actually_seen").cast("long")).alias("n_seen"),
+        F.sum(F.col("requeued").cast("long")).alias("n_requeued"),
+        F.sum((active & ~F.col("found")).cast("long")).alias("n_fn_active"),
+        F.sum((F.col("requeued") & F.col("found")).cast("long")).alias(
+            "n_requeued_still_found"
+        ),
+        F.sum((~F.col("actually_seen") & F.col("found")).cast("long")).alias(
+            "n_fp_unseen"
+        ),
+    )
+
+
+def _cuckoo_requeue_audit_oracle_sql() -> str:
+    """Golden VALUES from the sequential cuckoo reference over the same
+    Python corpus restatement as the Bloom audit."""
+    from webcrawler_go_spark.operators.cuckoo import cuckoo_audit_sequential
+
+    min_k = _oracle_corpus_min_k()
+    if min_k is None:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS n_candidates, CAST(NULL AS BIGINT)"
+            " AS n_seen, CAST(NULL AS BIGINT) AS n_requeued, CAST(NULL AS"
+            " BIGINT) AS n_fn_active, CAST(NULL AS BIGINT) AS"
+            " n_requeued_still_found, CAST(NULL AS BIGINT) AS n_fp_unseen"
+            " WHERE false"
+        )
+    all_hashes, seen_hashes, requeued_hashes = min_k
+    c = cuckoo_audit_sequential(seen_hashes, requeued_hashes, all_hashes)
+    return (
+        "SELECT CAST(n_candidates AS BIGINT) AS n_candidates,"
+        " CAST(n_seen AS BIGINT) AS n_seen,"
+        " CAST(n_requeued AS BIGINT) AS n_requeued,"
+        " CAST(n_fn_active AS BIGINT) AS n_fn_active,"
+        " CAST(n_requeued_still_found AS BIGINT) AS n_requeued_still_found,"
+        " CAST(n_fp_unseen AS BIGINT) AS n_fp_unseen"
+        f" FROM (VALUES ({c['n_candidates']}, {c['n_seen']},"
+        f" {c['n_requeued']}, {c['n_fn_active']},"
+        f" {c['n_requeued_still_found']}, {c['n_fp_unseen']}))"
+        " AS t(n_candidates, n_seen, n_requeued, n_fn_active,"
+        " n_requeued_still_found, n_fp_unseen)"
     )
 
 
@@ -4062,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "fetch_latency_quantiles": q_fetch_latency_quantiles,
         "bloom_seen_audit": q_bloom_seen_audit,
+        "cuckoo_requeue_audit": q_cuckoo_requeue_audit,
         # boilerplate_ngrams rides textdedup.shingles (duplicate_passages
         # was appended to that module, shingles itself byte-identical)
         "boilerplate_ngrams": q_boilerplate_ngrams,
@@ -4712,6 +4834,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "cms_heavy_hitters": _cms_heavy_hitters_oracle_sql(),
         "fetch_latency_quantiles": _fetch_latency_quantiles_oracle_sql(),
         "bloom_seen_audit": _bloom_seen_audit_oracle_sql(),
+        "cuckoo_requeue_audit": _cuckoo_requeue_audit_oracle_sql(),
         "bm25_retrieval": f"""
             WITH q(query_id, term) AS (VALUES {_bm25_values_sql()}),
             d AS (
