@@ -4178,6 +4178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spider_trap_detect": q_spider_trap_detect,
         "recrawl_schedule": q_recrawl_schedule,
         "quality_classifier": q_quality_classifier,
+        # the r5 sketch/audit family (HLL, CMS, histogram quantiles,
+        # Bloom/cuckoo seen-filter audits) is also NEW this round and
+        # below the cap for the same reason as bpe_merges (see that
+        # comment): oracles registered and locally verified, in line
+        # for the r6 recording window.
         "urlseen_hll": q_urlseen_hll,
         "host_url_hll": q_host_url_hll,
         "cms_heavy_hitters": q_cms_heavy_hitters,

@@ -53,6 +53,13 @@ def test_robots_rules_join_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_cms_sketch_lookup_broadcast(spark):
+    """The count-min counter table is d×w rows by construction — the
+    candidate lookup must broadcast it, never shuffle the stream."""
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark):
     """status-class predicate over the synthetic fetch log derives from a
     parquet scan — the pushed-filter line must be non-empty."""
