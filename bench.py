@@ -53,6 +53,48 @@ HEADLINE = [
 ]
 
 
+# Good-window reference for the host-calibration probe below: the best
+# perproc_secs_32way recorded across BENCH_SCALING_RUNS.json windows
+# (run_D, 4.21 s). host_factor = REF / measured ∈ (0, ~1]; a degraded
+# host window (shared-VM neighbors) shows up as host_factor « 1, letting
+# cross-round throughput ratios self-normalize instead of relying on
+# BENCH.md footnotes (VERDICT r5 "Next round" #3).
+REF_PERPROC_SECS_32WAY = 4.21
+
+
+def host_ceiling_stamp(cpus: int) -> dict:
+    """Same-window machine-ceiling measurement, embedded in the bench
+    JSON. Runs the scaling_bench _BURN workload (pure numpy, no Spark)
+    n-way and reports median per-process seconds — a Spark-independent
+    probe of this box's current per-core throughput."""
+    import statistics
+    import subprocess
+
+    from tools.scaling_bench import _BURN
+
+    n = min(cpus, os.cpu_count() or cpus, 32)
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", _BURN],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(n)
+    ]
+    perproc = statistics.median(
+        float(p.communicate()[0].strip()) for p in procs
+    )
+    stamp = {
+        "probe": "scaling_bench._BURN",
+        "probe_nway": n,
+        "probe_perproc_secs": round(perproc, 3),
+    }
+    if n == 32:
+        stamp["ref_perproc_secs_goodwindow"] = REF_PERPROC_SECS_32WAY
+        stamp["host_factor"] = round(REF_PERPROC_SECS_32WAY / perproc, 3)
+    return stamp
+
+
 def crawl_throughput(spark, cpus: int) -> tuple[float, int, float]:
     """Fetch+dedup URLs/sec on the synthetic frontier (the north metric)."""
     from webcrawler_go_spark.config import CrawlConfig
@@ -155,6 +197,10 @@ def main() -> None:
     urls_per_sec, fetched, crawl_secs, peak = crawl_throughput(spark, cpus)
     timings["crawl_rounds"] = round(crawl_secs, 3)
 
+    # in-window calibration AFTER the crawl metric, so the probe samples
+    # the same host conditions the throughput number was taken under
+    ceiling = host_ceiling_stamp(cpus)
+
     print(
         json.dumps(
             {
@@ -166,6 +212,7 @@ def main() -> None:
                 "urls_fetched": fetched,
                 "urls_per_sec_peak_round": round(peak, 1),
                 "cpus": cpus,
+                "ceiling": ceiling,
             }
         )
     )

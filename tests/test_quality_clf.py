@@ -56,7 +56,7 @@ def test_train_rows_separate(spark):
 def test_unseen_and_empty_edges(spark):
     out = _scores(spark)
     # all-unseen doc: score = prior + n_tokens·unseen_weight; with the
-    # balanced corpus here t_pos=11, t_neg=11, V=7 → unseen weight 0,
+    # balanced corpus here t_pos=11, t_neg=11, V=6 → unseen weight 0,
     # prior = floor(1000·ln(3/4)) = -288
     prior = math.floor(1000 * math.log(3 / 4))
     assert out[8]["n_tokens"] == 2 and out[8]["score_milli"] == prior

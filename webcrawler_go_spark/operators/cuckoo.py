@@ -114,7 +114,12 @@ def cuckoo_build_deterministic(
     This is the documented moderate-size driver build path (module
     docstring); at 10^10 the same build runs once per pmod shard."""
     seen_sorted = sorted(int(h) for h in seen_hashes)
-    cf = NumpyCuckoo(max(n_items or len(seen_sorted), 8))
+    # 25% headroom: next-pow2 sizing alone can land just under a
+    # boundary at ~91% load where a 500-kick build occasionally
+    # overflows; the margin keeps load ≤~73% worst-case. Both the
+    # engine row and the sequential oracle build through this function,
+    # so the (size-dependent) false-positive set stays in lockstep.
+    cf = NumpyCuckoo(max(n_items or int(len(seen_sorted) * 1.25), 8))
     n_ins = cf.add_many(np.array(seen_sorted, dtype=np.int64))
     if n_ins != len(seen_sorted):
         raise RuntimeError(

@@ -86,6 +86,19 @@ def nb_quality_scores(
         F.sum(F.when(~F.col("is_positive") & F.col("in_train"), 1).otherwise(0)),
     ).first()
     n_pos_docs, n_neg_docs = int(nd[0] or 0), int(nd[1] or 0)
+    if n_pos_docs == 0 or n_neg_docs == 0:
+        # a single-class train split has no log-odds prior; fail loudly
+        # rather than with ZeroDivisionError / math domain error
+        raise ValueError(
+            "quality classifier needs both classes in the train split "
+            f"(got n_pos_docs={n_pos_docs}, n_neg_docs={n_neg_docs})"
+        )
+    # NOTE on float portability: ln() on data-dependent values is not
+    # bit-portable across libms (1-ulp divergence possible; see
+    # sketches.py). The floor(1000*ln(...)) fixed-point here follows the
+    # documented tfidf convention — accepted, with the boundary risk
+    # carried knowingly (a flip needs a value within 1 ulp of an exact
+    # millinat boundary, measure-zero for real corpora).
     prior_milli = math.floor(1000.0 * math.log(n_pos_docs / n_neg_docs))
     # weight at n_pos=n_neg=0 — what any token unseen in training earns
     unseen_milli = math.floor(

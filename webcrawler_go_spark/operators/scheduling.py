@@ -179,6 +179,10 @@ def recrawl_priority(
         lam.cast("long").alias("lambda_milli"),
         (F.lit(now_seq) - F.col("_last_seq")).cast("long").alias("age"),
     )
+    # exp() on data-dependent values carries the same 1-ulp cross-libm
+    # caveat as ln() (see sketches.py / quality_clf.py) — accepted
+    # fixed-point convention; a floor flip needs a value within 1 ulp of
+    # an exact milli boundary.
     prio = F.floor(
         F.lit(1000.0)
         * (
