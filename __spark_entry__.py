@@ -1573,12 +1573,22 @@ def q_media_tiff_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent reader. Emits the container's structural fields, the
     per-channel ink sums computed FROM THE DECODED PIXELS, and a
     byte-equality round-trip flag — all closed-form for the SQL oracle.
-    Embarrassingly parallel (one mapInPandas, no shuffle)."""
+    Embarrassingly parallel mapInPandas; the payload-free repartition on
+    the 8-byte key column spreads the CPU-bound codec work across all
+    cores even when the upstream scan is a single split (small test
+    files = 1 task otherwise; at 100 TB the scan arrives pre-split and
+    the exchange stays negligible — keys only, no pixel bytes)."""
     import pandas as pd
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def kernel(batches):
+        import numpy as np
+
         from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk
         from webcrawler_go_spark.functions.media_containers import (
             decode_tiff,
@@ -1590,7 +1600,11 @@ def q_media_tiff_container(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in b["k"]:
                 k = int(k)
                 w, h = k % 8 + 2, k % 5 + 2
-                rgb = bytes((k * 31 + j * 7) % 256 for j in range(w * h * 3))
+                # same (k*31 + 7j) mod 256 ramp as the SQL oracle, numpy-
+                # vectorized (exact integer math, values unchanged)
+                rgb = (
+                    (k * 31 + 7 * np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8).tobytes()
                 cmyk = rgb_to_cmyk(rgb)
                 blob = encode_tiff_cmyk(
                     cmyk, w, h, compression="lzw",
@@ -1598,11 +1612,16 @@ def q_media_tiff_container(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 d = decode_tiff(blob)
                 px = d["pixels"]
+                sums = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(-1, 4)
+                    .sum(axis=0, dtype=np.int64)
+                )
                 rows.append((
                     k, d["width"], d["height"], d["photometric"],
                     d["compression"], d["predictor"], d["inkset"],
                     d["n_strips"], px == cmyk,
-                    sum(px[0::4]), sum(px[1::4]), sum(px[2::4]), sum(px[3::4]),
+                    int(sums[0]), int(sums[1]), int(sums[2]), int(sums[3]),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "k", "width", "height", "photometric", "compression",
@@ -1626,10 +1645,16 @@ def q_media_pdf_cmyk_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     /DeviceCMYK /FlateDecode Image XObject with byte-accurate xref →
     re-extracted by the un-wrapper. Same oracle pattern as the TIFF
     twin; the ICC OutputIntent of full PDF/X stays out of scope (no
-    profile data in the sandbox), documented in SURVEY §2.1."""
+    profile data in the sandbox), documented in SURVEY §2.1. Payload-
+    free key repartition before the kernel — same rationale as the TIFF
+    twin (spread CPU-bound codec work even off a single-split scan)."""
     import pandas as pd
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def kernel(batches):
         from webcrawler_go_spark.functions.media_codecs import rgb_to_cmyk

@@ -269,12 +269,24 @@ def _ascii85_encode(data: bytes) -> bytes:
     return base64.a85encode(data) + b"~>"
 
 
+# decoder base table: codes 0-255 are their single byte; 256 (clear)
+# and 257 (EOD) hold placeholders so table indices line up with codes.
+# Built once at import — per-call table setup is a C-level list copy
+# instead of a 256-entry dict comprehension (the old per-strip setup
+# dominated TIFF round-trip cost for small strips).
+_LZW_BASE: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     """LZWDecode (PDF variant: 9→12-bit codes MSB-first, clear=256,
-    EOD=257, EarlyChange=1 by default)."""
+    EOD=257, EarlyChange=1 by default).
+
+    The table is a code-indexed list (len(table) == next code to
+    assign), capped at the 12-bit code space — once full, decoding
+    continues with existing entries (mirrors the encoder, bounds table
+    memory on malicious input)."""
     out = bytearray()
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
-    next_code = 258
+    table = _LZW_BASE.copy()
     width = 9
     prev: bytes | None = None
     bitbuf = 0
@@ -286,27 +298,24 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
             if code == 256:
-                table = {i: bytes([i]) for i in range(256)}
-                next_code = 258
+                del table[258:]
                 width = 9
                 prev = None
                 continue
             if code == 257:
                 return bytes(out)
+            n = len(table)
             if prev is None:
+                if code >= n:
+                    raise ValueError(f"bad LZW code {code}")
                 entry = table[code]
-            elif code in table:
+            elif code < n:
                 entry = table[code]
-                if next_code <= 4095:
-                    # table capped at the 12-bit code space — once full,
-                    # keep decoding with existing entries (mirrors the
-                    # encoder, bounds table memory on malicious input)
-                    table[next_code] = prev + entry[:1]
-                    next_code += 1
-            elif code == next_code and next_code <= 4095:
+                if n <= 4095:
+                    table.append(prev + entry[:1])
+            elif code == n and n <= 4095:
                 entry = prev + prev[:1]
-                table[next_code] = entry
-                next_code += 1
+                table.append(entry)
             else:
                 raise ValueError(f"bad LZW code {code}")
             out += entry
@@ -316,33 +325,45 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             # decoder's table lags the encoder's by ONE entry (the first
             # data code after a clear adds none), so it must switch
             # width one code earlier than the encoder's own schedule
-            if next_code + early + 1 >= (1 << width) and width < 12:
+            if len(table) + early + 1 >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
 
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     """LZW encoder matching ``_lzw_decode`` (leading clear code,
-    trailing EOD, same early-change width schedule)."""
+    trailing EOD, same early-change width schedule).
+
+    The string table is keyed on ``(prefix_code << 8) | next_byte``
+    with single-byte strings implicit (their code IS the byte value) —
+    the greedy parse is byte-for-byte identical to the classic
+    byte-string-keyed formulation but does one int-dict probe per input
+    byte instead of building a bytes object per step (which made long
+    matches quadratic and table setup the dominant cost on small
+    strips)."""
     codes: list[tuple[int, int]] = [(256, 9)]
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code = 258
     width = 9
-    w = b""
+    w = -1
     for ch in data:
-        c = bytes([ch])
-        if w + c in table:
-            w += c
+        if w < 0:
+            w = ch
             continue
-        codes.append((table[w], width))
+        key = (w << 8) | ch
+        nxt = table.get(key)
+        if nxt is not None:
+            w = nxt
+            continue
+        codes.append((w, width))
         if next_code < 4096:
-            table[w + c] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code + early >= (1 << width) and width < 12:
                 width += 1
-        w = c
-    if w:
-        codes.append((table[w], width))
+        w = ch
+    if w >= 0:
+        codes.append((w, width))
     codes.append((257, width))
     bitbuf = 0
     nbits = 0
