@@ -1930,6 +1930,150 @@ def _pq_rerank_oracle_sql(
     )
 
 
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (IVF × PQ composed — VERDICT r5 directive #5): IVF coarse
+    cells partition the corpus, ONE global PQ codebook trained on the
+    cell residuals, queries probe nprobe=2 cells and ADC-scan only those
+    cells' compressed codes through broadcast integer LUTs. At 10⁹
+    vectors this is THE standard operating point: the scan touches
+    nprobe/n_cells of a corpus that lives as m small ints per vector
+    (~1/32 the float footprint), never the raw floats. Oracle = numpy
+    golden replication (similarity.ivfpq_topk_numpy, the IVF float
+    contract); recall + nprobe monotonicity asserted in
+    tests/test_similarity.py."""
+    from webcrawler_go_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(emb, queries, k=5, n_cells=8, nprobe=2, m=4, n_cents=16)
+
+
+def _ivfpq_topk_oracle_sql(
+    k: int = 5, n_cells: int = 8, nprobe: int = 2, m: int = 4,
+    n_cents: int = 16, n_queries: int = 8,
+) -> str:
+    """Golden VALUES oracle for embedding_ivfpq_topk: the sequential
+    numpy replication (similarity.ivfpq_topk_numpy) evaluated over the
+    driver's sf0.01 embeddings — the _ivf_topk_oracle_sql pattern."""
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.operators.similarity import ivfpq_topk_numpy
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor,"
+            " CAST(NULL AS BIGINT) AS adc_d2_micro, CAST(NULL AS INT) AS rank WHERE false"
+        )
+    rows = ivfpq_topk_numpy(
+        tbl.column("vec_id").to_numpy(),
+        tbl.column("embedding").to_pylist(),
+        range(n_queries),
+        k=k, n_cells=n_cells, nprobe=nprobe, m=m, n_cents=n_cents,
+    )
+    vals = ",\n              ".join(
+        f"({q}, {nb}, {adc}, {r})" for q, nb, adc, r in rows
+    )
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor AS BIGINT) AS neighbor,\n"
+        "                   CAST(adc_d2_micro AS BIGINT) AS adc_d2_micro, CAST(rank AS INT) AS rank\n"
+        f"            FROM (VALUES {vals}) AS t(query_id, neighbor, adc_d2_micro, rank)"
+    )
+
+
+def q_embedding_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFADC production composition: IVF-pruned ADC shortlist
+    (depth 50 from nprobe=2 cells' compressed codes) + exact-cosine
+    re-rank of only those candidates. recall@5 of this query ≡ the raw
+    shortlist recall@50 (the pq_rerank contract, asserted in tests).
+    Oracle = numpy golden replication: ivfpq_topk_numpy shortlist +
+    sequential-float64 exact cosine rounded HALF_UP to 6."""
+    from webcrawler_go_spark.operators.similarity import ivfpq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_rerank_topk(
+        emb, queries, k=5, shortlist=50, n_cells=8, nprobe=2, m=4, n_cents=16
+    )
+
+
+def _ivfpq_rerank_oracle_sql(
+    k: int = 5, shortlist: int = 50, n_cells: int = 8, nprobe: int = 2,
+    m: int = 4, n_cents: int = 16, n_queries: int = 8,
+) -> str:
+    """Golden VALUES for embedding_ivfpq_rerank: ivfpq_topk_numpy
+    shortlist + sequential-float64 exact cosine, rounded HALF_UP to 6
+    (the _pq_rerank_oracle_sql pattern)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.operators.similarity import ivfpq_topk_numpy
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor,"
+            " CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank WHERE false"
+        )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    by_id = {int(i): vecs[j] for j, i in enumerate(ids)}
+
+    short = ivfpq_topk_numpy(
+        ids, vecs, range(n_queries),
+        k=shortlist, n_cells=n_cells, nprobe=nprobe, m=m, n_cents=n_cents,
+    )
+
+    def seq_sum64(arr32):
+        acc = 0.0
+        for x in arr32:
+            acc += float(x)
+        return acc
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    cand: dict[int, list[int]] = {}
+    for q, nb, _adc, _r in short:
+        cand.setdefault(q, []).append(nb)
+    rows = []
+    for q, nbs in sorted(cand.items()):
+        qv = by_id[q]
+        nq = seq_sum64(qv * qv) ** 0.5
+        scored = []
+        for nb in nbs:
+            v = by_id[nb]
+            nv = seq_sum64(v * v) ** 0.5
+            cosine = r6(seq_sum64(v * qv) / (nv * nq))
+            scored.append((-cosine, nb, cosine))
+        scored.sort()
+        rows.extend(
+            (q, nb, cosine, r + 1) for r, (_neg, nb, cosine) in enumerate(scored[:k])
+        )
+    vals = ",\n              ".join(
+        f"({q}, {nb}, {cos!r}, {r})" for q, nb, cos, r in rows
+    )
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor AS BIGINT) AS neighbor,\n"
+        "                   CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank\n"
+        f"            FROM (VALUES {vals}) AS t(query_id, neighbor, cosine, rank)"
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation repetition signals (Gopher/MassiveText duplicate-n-gram
     family): word + word-bigram duplication counts per document, pure
@@ -4107,7 +4251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4/r5 row on code byte-unchanged since that row was recorded."""
     return {
         # (1) new this round (uncommented as each lands in r6)
-        # "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "embedding_ivfpq_rerank": q_embedding_ivfpq_rerank,
         # "warc_source_split": q_warc_source_split,
         # "adaptive_fetch_width": q_adaptive_fetch_width,
         # (2) the 18 never-driver-recorded r5 queries (VERDICT r5
@@ -4830,6 +4975,8 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
         "bpe_encode_corpus": _bpe_encode_corpus_oracle_sql(),
         "embedding_pq_topk": _pq_topk_oracle_sql(),
         "embedding_pq_rerank": _pq_rerank_oracle_sql(),
+        "embedding_ivfpq_topk": _ivfpq_topk_oracle_sql(),
+        "embedding_ivfpq_rerank": _ivfpq_rerank_oracle_sql(),
         "warc_source": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    'https://w' || CAST(doc_id // 20 AS VARCHAR) || '.example.org/doc/'

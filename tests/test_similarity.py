@@ -426,3 +426,124 @@ def test_pq_rerank_recovers_shortlisted_neighbors_sf001():
     r_rerank = sum(len(rerank.get(q, set()) & n) for q, n in exact.items()) / total
     r_short = sum(len(short.get(q, set()) & n) for q, n in exact.items()) / total
     assert r_rerank == r_short  # the equivalence, exactly
+
+
+def test_ivfpq_matches_numpy_reference(spark):
+    """IVFADC parity: the distributed ivfpq_topk (IVF coarse cells + one
+    global residual PQ codebook + per-probed-cell integer ADC LUTs)
+    reproduces the sequential numpy replication row-for-row, including
+    the integer ADC distances — the float contract (element ops float32,
+    pos-order float64 accumulation, Lloyd means f64→f32, micro-floor
+    before the subspace sum) leaves no engine-dependent bits."""
+    import numpy as np
+
+    from webcrawler_go_spark.operators.similarity import ivfpq_topk, ivfpq_topk_numpy
+
+    rng = np.random.RandomState(11)
+    n, dim = 60, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id < 5")
+    got = sorted(
+        (r["query_id"], r["neighbor"], r["adc_d2_micro"], r["rank"])
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_cells=4, nprobe=2, m=4, n_cents=8
+        ).collect()
+    )
+    want = ivfpq_topk_numpy(
+        list(range(n)), vecs, range(5), k=5, n_cells=4, nprobe=2, m=4, n_cents=8
+    )
+    assert got == want
+
+
+def test_ivfpq_scan_restricted_to_probed_cells(spark):
+    """The IVF pruning contract: every neighbor ivfpq_topk returns (at
+    unbounded k) lives in one of the query's nprobe probed cells — the
+    ADC scan never touches an unprobed cell's codes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_assign,
+        ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim = 48, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id < 3")
+    assignments, cents = ivf_assign(emb, n_cells=4)
+    cell_of = {r["id"]: r["cell"] for r in assignments.collect()}
+    probed = {}
+    qe = queries.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    for r in assign_to_centroids(qe, cents, nprobe=2).collect():
+        probed.setdefault(r["id"], set()).add(r["cell"])
+    out = ivfpq_topk(emb, queries, k=n, n_cells=4, nprobe=2, m=4, n_cents=8)
+    for r in out.collect():
+        assert cell_of[r["neighbor"]] in probed[r["query_id"]], (
+            f"neighbor {r['neighbor']} (cell {cell_of[r['neighbor']]}) scanned "
+            f"for query {r['query_id']} probing {probed[r['query_id']]}"
+        )
+
+
+def test_ivfpq_rerank_contract_sf001():
+    """The pq_rerank contract on the composed IVFADC path, on the
+    driver's real sf0.01 embeddings: (a) the ADC shortlist deepens
+    monotonically and decisively beats the random-draw floor; (b) exact
+    re-ranking recovers every true top-5 neighbor the depth-50
+    shortlist retains, so recall@5(ivfpq_rerank) ≡ shortlist recall@50.
+    Measured on this data (PQ's worst case — near-isotropic 64-d unit
+    vectors): 0.275 / 0.625 / 0.85 at depths 5/20/50; re-rank restores
+    recall@5 from 0.275 to 0.85 (the IVF nprobe=2 ceiling is 0.90)."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    from webcrawler_go_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+    from webcrawler_go_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    by_q_exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor)
+    total = sum(len(n) for n in by_q_exact.values())
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor)
+        return sum(len(got.get(q, set()) & n) for q, n in by_q_exact.items()) / total
+
+    def shortlist(depth):
+        return rec(
+            ivfpq_topk(emb, queries, k=depth, n_cells=8, nprobe=2, m=4, n_cents=16)
+        )
+
+    r5, r20, r50 = shortlist(5), shortlist(20), shortlist(50)
+    assert r5 >= 0.15, f"ADC recall@5 {r5:.2f} (random ≈ 0.01)"
+    assert r5 <= r20 <= r50, f"shortlist not monotone: {r5} {r20} {r50}"
+    assert r50 >= 0.55, f"ADC shortlist recall@50 {r50:.2f} (random ≈ 0.10)"
+
+    rr = rec(
+        ivfpq_rerank_topk(
+            emb, queries, k=5, shortlist=50, n_cells=8, nprobe=2, m=4, n_cents=16
+        )
+    )
+    assert rr == r50, f"re-rank recall@5 {rr:.2f} != shortlist recall@50 {r50:.2f}"

@@ -1088,3 +1088,400 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF × PQ (IVFADC) — the 10^9-vector operating point
+# ---------------------------------------------------------------------------
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_cents: int = 16,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): IVF coarse cells partition the corpus; ONE
+    global PQ codebook is trained on the cell RESIDUALS (v − centroid);
+    a query probes its ``nprobe`` nearest cells and ADC-scans only the
+    compressed codes in those cells through a per-(query, probed-cell)
+    residual LUT. This composes the repo's two halves — `ivf_assign`
+    (partition pruning: nprobe/n_cells of the corpus touched) and the
+    PQ/ADC integer scan (codes are m small ints, ~1/32 the float
+    footprint) — into the standard 10^9-vector operating shape.
+
+    Scale/plan notes:
+    * residual subvectors are built in EXPLODED codegen form (posexplode
+      → broadcast-join exploded centroids → (x − c)) and reassembled as
+      pos-sorted struct arrays via array_sort(collect_list(...)) —
+      deterministic regardless of shuffle arrival order because no
+      float ACCUMULATION happens at reassembly, only element-wise
+      subtraction; corpus-scale rows never pass through an interpreted
+      array HOF (F.transform touches codebook rows only — m·n_cents,
+      metadata scale).
+    * every distance follows the repo float contract: element ops in
+      float32, per-group accumulation in float64 in pos order (each
+      (id, m) subvector re-explodes from ONE row, so its hash-agg
+      partial accumulates pos-ascending), Lloyd means float64 → float32.
+    * the LUT is |Q|·nprobe·m·n_cents rows of integer micro-units —
+      broadcast; the ADC scan is codes ⨝ LUT on (cell, m, code) + an
+      order-independent integer SUM. No float crosses an exchange.
+
+    Returns (query_id, neighbor, adc_d2_micro, rank). Self-pairs
+    excluded; ties → lowest neighbor id."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(e.select("v").first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+
+    assignments, cents = ivf_assign(
+        emb, n_cells=n_cells, lloyd_iters=lloyd_iters,
+        vec_col=vec_col, id_col=id_col,
+    )
+    cx = cents.select("cell", F.posexplode("centroid").alias("dpos", "c"))
+
+    def residual_sub(edf: DataFrame, adf: DataFrame) -> DataFrame:
+        """(id, v) ⨝ (id, cell) → (id, cell, m, pm) where pm is the
+        pos-sorted struct array of the residual subvector elements."""
+        ex = edf.join(adf, "id").select(
+            "id", "cell", F.posexplode("v").alias("dpos", "x")
+        )
+        rex = ex.join(F.broadcast(cx), ["cell", "dpos"]).select(
+            "id",
+            "cell",
+            (F.col("dpos") / F.lit(d_sub)).cast("int").alias("m"),
+            (F.col("dpos") % F.lit(d_sub)).alias("pos"),
+            (F.col("x") - F.col("c")).alias("xr"),
+        )
+        return rex.groupBy("id", "cell", "m").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "xr"))).alias("pm")
+        )
+
+    rsv = residual_sub(e, assignments)
+
+    # PQ codebook seeds: residual slices of the n_cents lowest corpus ids
+    wseed = Window.orderBy("id")
+    seed_cells = (
+        e.orderBy("id").limit(n_cents)
+        .withColumn("_r", F.row_number().over(wseed))
+        .select("id", (F.col("_r") - 1).alias("pcell"))
+    )
+    pq_cents = (
+        rsv.join(F.broadcast(seed_cells), "id")
+        .select(
+            "m",
+            F.col("pcell").alias("cell"),
+            # metadata scale: n_cents·m rows
+            F.transform("pm", lambda s: s["xr"]).alias("centroid"),
+        )
+    )
+
+    def passign(cents_pq: DataFrame) -> DataFrame:
+        pcx = cents_pq.select(
+            "m", F.col("cell").alias("pcell"),
+            F.posexplode("centroid").alias("pos", "c"),
+        )
+        ex2 = rsv.select("id", "m", F.explode("pm").alias("s")).select(
+            "id", "m", F.col("s.pos").alias("pos"), F.col("s.xr").alias("x")
+        )
+        d2 = (
+            ex2.join(F.broadcast(pcx), ["m", "pos"])
+            .groupBy("id", "m", "pcell")
+            .agg(
+                F.sum(
+                    ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast("double")
+                ).alias("_d2")
+            )
+        )
+        wbest = Window.partitionBy("id", "m").orderBy(
+            F.col("_d2").asc(), F.col("pcell").asc()
+        )
+        return (
+            d2.withColumn("_rk", F.row_number().over(wbest))
+            .filter(F.col("_rk") == 1)
+            .select("id", "m", "pcell")
+        )
+
+    for _ in range(lloyd_iters):
+        a = passign(pq_cents)
+        exploded = (
+            rsv.select("id", "m", F.explode("pm").alias("s"))
+            .select("id", "m", F.col("s.pos").alias("pos"), F.col("s.xr").alias("x"))
+            .join(a, ["id", "m"])
+            .groupBy("m", "pcell", "pos")
+            .agg(F.avg("x").alias("mean"))
+        )
+        pq_cents = (
+            exploded.groupBy("m", "pcell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm2"))
+            .select(
+                "m",
+                F.col("pcell").alias("cell"),
+                F.transform("pm2", lambda s: s["mean"].cast("float")).alias("centroid"),
+            )
+        )
+
+    codes = passign(pq_cents).withColumnRenamed("pcell", "code")
+
+    # query side: probe nprobe cells, residual LUT per (query, probed cell)
+    qe = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qa = assign_to_centroids(qe, cents, nprobe=nprobe)
+    qrsv = residual_sub(qe, qa)
+    qex = qrsv.select(
+        F.col("id").alias("query_id"), F.col("cell").alias("qcell"), "m",
+        F.explode("pm").alias("s"),
+    ).select(
+        "query_id", "qcell", "m",
+        F.col("s.pos").alias("pos"), F.col("s.xr").alias("x"),
+    )
+    pcx = pq_cents.select(
+        "m", F.col("cell").alias("code"), F.posexplode("centroid").alias("pos", "c")
+    )
+    lut = (
+        qex.join(F.broadcast(pcx), ["m", "pos"])
+        .groupBy("query_id", "qcell", "m", "code")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast("double")
+            ).alias("_d2")
+        )
+        .select(
+            "query_id",
+            F.col("qcell").alias("cell"),
+            "m",
+            "code",
+            F.floor(F.lit(1e6) * F.col("_d2")).cast("long").alias("d2_micro"),
+        )
+    )
+
+    pairs = (
+        codes.join(assignments, "id")
+        .withColumnRenamed("id", "neighbor")
+        .join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("neighbor") != F.col("query_id"))
+        .groupBy("query_id", "neighbor")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2_micro").asc(), F.col("neighbor").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "adc_d2_micro", "rank")
+    )
+
+
+def ivfpq_topk_numpy(
+    ids, vecs, query_ids, k=5, n_cells=8, nprobe=2, m=4, n_cents=16, lloyd_iters=2
+):
+    """Sequential numpy replication of the DETERMINISTIC ivfpq_topk
+    pipeline — the golden oracle (pq_topk_numpy / _ivf_topk_oracle_sql
+    pattern). Float semantics mirror the Spark plan exactly: element ops
+    in float32, accumulation sequential left-to-right in float64, Lloyd
+    means float64 → float32, LUT distances floored to integer micro-
+    units BEFORE the (order-independent) subspace sum. Returns
+    [(query_id, neighbor, adc_d2_micro, rank)] sorted."""
+    import math as _math
+
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    ids = np.asarray(ids)[order]
+    vecs = np.asarray(vecs, dtype=np.float32)[order]
+    n, dim = vecs.shape
+    assert dim % m == 0
+    d_sub = dim // m
+
+    def seq_sum64(arr32):
+        acc = 0.0
+        for x in arr32:
+            acc += float(x)
+        return acc
+
+    # ---- IVF coarse quantizer (the _ivf_topk_oracle_sql replication) --
+    cents = vecs[: min(n_cells, n)].copy()
+    live = list(range(min(n_cells, n)))
+
+    def assign_live(cs, lv):
+        cells = np.empty(n, dtype=np.int64)
+        for i, v in enumerate(vecs):
+            d = (v[None, :] - cs[lv]) * (v[None, :] - cs[lv])
+            d2 = [seq_sum64(row) for row in d]
+            cells[i] = lv[int(np.argmin(d2))]  # ties → lowest live cell
+        return cells
+
+    for _ in range(lloyd_iters):
+        cells = assign_live(cents, live)
+        new_live = []
+        for c in live:
+            members = vecs[cells == c]
+            if len(members):
+                cents[c] = members.astype(np.float64).mean(axis=0).astype(np.float32)
+                new_live.append(c)
+        live = new_live
+    final_cells = assign_live(cents, live)
+
+    # ---- residuals (float32 subtraction, same IEEE op as Spark) ------
+    resid = np.empty_like(vecs)
+    for i in range(n):
+        resid[i] = vecs[i] - cents[final_cells[i]]
+
+    def sub(v, j):
+        return v[j * d_sub : (j + 1) * d_sub]
+
+    # ---- one global PQ codebook on residuals -------------------------
+    pq = {
+        j: {c: sub(resid[c], j).copy() for c in range(min(n_cents, n))}
+        for j in range(m)
+    }
+    for _ in range(lloyd_iters):
+        assign = {}
+        for j in range(m):
+            lv = sorted(pq[j])
+            for i in range(n):
+                d2s = [seq_sum64((sub(resid[i], j) - pq[j][c]) ** 2) for c in lv]
+                best = min(range(len(lv)), key=lambda t: (d2s[t], lv[t]))
+                assign[(i, j)] = lv[best]
+        for j in range(m):
+            new = {}
+            for c in sorted(pq[j]):
+                members = [sub(resid[i], j) for i in range(n) if assign[(i, j)] == c]
+                if members:
+                    new[c] = (
+                        np.stack(members).astype(np.float64).mean(axis=0).astype(np.float32)
+                    )
+            pq[j] = new
+    codes = {}
+    for j in range(m):
+        lv = sorted(pq[j])
+        for i in range(n):
+            d2s = [seq_sum64((sub(resid[i], j) - pq[j][c]) ** 2) for c in lv]
+            best = min(range(len(lv)), key=lambda t: (d2s[t], lv[t]))
+            codes[(i, j)] = lv[best]
+
+    # ---- query: probe cells, residual LUT, integer ADC ---------------
+    def probed_cells(qi):
+        v = vecs[qi]
+        d = (v[None, :] - cents[live]) * (v[None, :] - cents[live])
+        d2 = [seq_sum64(row) for row in d]
+        o = sorted(range(len(live)), key=lambda t: (d2[t], live[t]))
+        return [live[t] for t in o[:nprobe]]
+
+    out = []
+    qset = set(int(q) for q in query_ids)
+    for qi in range(n):
+        if int(ids[qi]) not in qset:
+            continue
+        probe = probed_cells(qi)
+        luts = {}
+        for cell in probe:
+            qr = vecs[qi] - cents[cell]
+            for j in range(m):
+                for c in sorted(pq[j]):
+                    d = sub(qr, j) - pq[j][c]
+                    luts[(cell, j, c)] = _math.floor(1e6 * seq_sum64(d * d))
+        probe_set = set(probe)
+        scored = []
+        for ni in range(n):
+            if ids[ni] == ids[qi] or final_cells[ni] not in probe_set:
+                continue
+            adc = sum(
+                luts[(final_cells[ni], j, codes[(ni, j)])] for j in range(m)
+            )
+            scored.append((adc, int(ids[ni])))
+        scored.sort()
+        out.extend(
+            (int(ids[qi]), nb, adc, r + 1) for r, (adc, nb) in enumerate(scored[:k])
+        )
+    return sorted(out)
+
+
+def exact_rerank(
+    short: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor) shortlist — the
+    second stage shared by every compressed-ANN production path
+    (pq_rerank_topk's contract): the exact pass touches shortlist·|Q|
+    pairs instead of N·|Q|, and any true top-k neighbor the shortlist
+    retains provably ranks inside the re-ranked top-k (exact metric,
+    superset ordering). Float semantics = ivf_topk's dots: float32
+    products accumulated sequentially in float64 (one partial per
+    pair), cosine rounded HALF_UP to 6."""
+    from pyspark.sql import Window
+
+    e = emb.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("v"))
+    nrm = norms_codegen(emb, vec_col=vec_col, id_col=id_col)
+    qe = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qn = norms_codegen(queries, vec_col=vec_col, id_col=id_col)
+    pairs = (
+        short.select("query_id", "neighbor")
+        .join(e, "neighbor")
+        .join(
+            nrm.withColumnRenamed("id", "neighbor").withColumnRenamed("_norm", "nv"),
+            "neighbor",
+        )
+        .join(F.broadcast(qe), "query_id")
+        .join(
+            F.broadcast(
+                qn.withColumnRenamed("id", "query_id").withColumnRenamed("_norm", "nq")
+            ),
+            "query_id",
+        )
+    )
+    ex = pairs.select(
+        "query_id", "neighbor", "nv", "nq",
+        F.posexplode(F.arrays_zip("v", "qv")).alias("pos", "z"),
+    )
+    dots = ex.groupBy("query_id", "neighbor").agg(
+        F.sum((F.col("z.v") * F.col("z.qv")).cast("double")).alias("_dot"),
+        F.first("nv").alias("nv"),
+        F.first("nq").alias("nq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        dots.withColumn("cosine", F.round(F.col("_dot") / (F.col("nv") * F.col("nq")), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor", "cosine", "rank")
+    )
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_cents: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full IVFADC production path: IVF-pruned PQ/ADC shortlists
+    ``shortlist`` candidates per query from nprobe cells' compressed
+    codes (never touching the float corpus), then EXACT cosine re-ranks
+    only those — restoring the precision residual quantization gave up.
+    recall@k(re-rank) ≡ shortlist recall@shortlist, asserted in tests.
+    At 10⁹ vectors: coarse probe touches nprobe/n_cells of the corpus,
+    the ADC scan reads m ints/vector, the exact pass shortlist·|Q|
+    raw vectors."""
+    short = ivfpq_topk(
+        emb, queries, k=shortlist, n_cells=n_cells, nprobe=nprobe,
+        m=m, n_cents=n_cents, vec_col=vec_col, id_col=id_col,
+    )
+    return exact_rerank(short, emb, queries, k=k, vec_col=vec_col, id_col=id_col)
