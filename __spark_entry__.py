@@ -3450,6 +3450,106 @@ def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-file WARC splits (VERDICT r5 directive #6): the member
+    offsets the CDX path computes become a split table, members are
+    bucketed into 2 contiguous byte-range buckets per archive, and each
+    (file, split) task inflates ONLY its slices — so one hot 1 GB
+    archive spreads across tasks instead of pinning one
+    (`sources/warc.py:warc_records_split`). Output adds the split_id
+    each record was decoded under; the oracle recomputes member offsets
+    with the sequential writer (deterministic gzip bytes) and the same
+    byte-range bucket formula, joined to `documents` for the payload
+    contract — proving both the round trip AND the bucketing. Record-
+    set equality with the file-per-task path is asserted in pytest."""
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    files = _warc_files(spark, sf_dir)
+    # the offsets sidecar — in production the CDX index; here a light
+    # prior pass over the same archives
+    offsets = warc_records(files).select(
+        "filename", "member_offset", "member_length"
+    )
+    recs = warc_records_split(files, offsets, n_splits=2)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "content_length",
+        "payload",
+        "member_offset",
+        "split_id",
+    )
+
+
+def _warc_split_oracle_sql(n_splits: int = 2) -> str:
+    """Golden-int-join oracle for warc_source_split: rebuild the
+    archives with the same writer sequentially (gzip bytes are
+    deterministic → identical member offsets), bucket offsets with the
+    same ⌊offset·n/filelen⌋ formula, and emit (doc_id, member_offset,
+    split_id) VALUES joined to `documents` for the uri/status/payload
+    contract — integers golden, payload text straight from the table."""
+    import pyarrow.parquet as pq
+
+    from webcrawler_go_spark.sources.warc import make_warc_gz, make_warc_record
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    except (OSError, FileNotFoundError):
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS target_uri,"
+            " CAST(NULL AS INT) AS http_status, CAST(NULL AS BIGINT) AS content_length,"
+            " CAST(NULL AS VARCHAR) AS payload, CAST(NULL AS BIGINT) AS member_offset,"
+            " CAST(NULL AS INT) AS split_id WHERE false"
+        )
+    docs = sorted(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    by_file: dict[int, list[tuple[int, str]]] = {}
+    for did, text in docs:
+        by_file.setdefault(did // _WARC_RECORDS_PER_FILE, []).append((did, text[:200]))
+    triples = []
+    for fid, members in sorted(by_file.items()):
+        recs, metas = [], []
+        for did, t in members:  # doc_id-sorted
+            uri, date, status, ctype = _warc_fixture_fields(did)
+            recs.append(
+                make_warc_record(
+                    uri, date, t.encode("utf-8"), status=status, content_type=ctype
+                )
+            )
+            metas.append(did)
+        blob = make_warc_gz(recs)
+        # member offsets: re-walk compressed lengths member by member
+        import zlib as _z
+
+        pos = 0
+        offs = []
+        for rec in recs:
+            c = _z.compressobj(level=6, wbits=31)
+            ln = len(c.compress(rec) + c.flush())
+            offs.append((pos, ln))
+            pos += ln
+        flen = pos
+        for did, (off, ln) in zip(metas, offs):
+            split_id = min(off * n_splits // flen, n_splits - 1)
+            triples.append((did, off, split_id))
+        assert flen == len(blob)
+    vals = ",\n              ".join(
+        f"({d}, {o}, {s})" for d, o, s in triples
+    )
+    return f"""
+            WITH m(doc_id, member_offset, split_id) AS (VALUES {vals})
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   'https://w' || CAST(d.doc_id // 20 AS VARCHAR) || '.example.org/doc/'
+                       || CAST(d.doc_id AS VARCHAR) AS target_uri,
+                   CAST(CASE WHEN d.doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+                   CAST(strlen(substring(d.text, 1, 200)) AS BIGINT) AS content_length,
+                   substring(d.text, 1, 200) AS payload,
+                   CAST(m.member_offset AS BIGINT) AS member_offset,
+                   CAST(m.split_id AS INT) AS split_id
+            FROM documents d JOIN m ON m.doc_id = d.doc_id"""
+
+
 def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index over the parsed archives: SURT urlkey, 14-digit
     timestamp, SHA-1 payload digest, and the (filename, offset, length)
@@ -4253,7 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new this round (uncommented as each lands in r6)
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "embedding_ivfpq_rerank": q_embedding_ivfpq_rerank,
-        # "warc_source_split": q_warc_source_split,
+        "warc_source_split": q_warc_source_split,
         # "adaptive_fetch_width": q_adaptive_fetch_width,
         # (2) the 18 never-driver-recorded r5 queries (VERDICT r5
         # What's-wrong #1 list, verbatim)
@@ -4988,6 +5088,7 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
                    substring(text, 1, 200) AS payload
             FROM documents""",
         "warc_cdx_index": _warc_cdx_oracle_sql(),
+        "warc_source_split": _warc_split_oracle_sql(),
         "dsir_importance": _DSIR_ORACLE_SQL,
         "spider_trap_detect": _SPIDER_TRAP_ORACLE_SQL,
         "recrawl_schedule": _RECRAWL_ORACLE_SQL,

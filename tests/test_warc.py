@@ -126,3 +126,98 @@ def test_cdx_matches_python_reference(spark):
         payload = f"payload number {i} with some text".encode()
         assert r.digest == hashlib.sha1(payload).hexdigest()
         assert r.status == (404 if i % 3 == 0 else 200)
+
+
+def test_split_read_record_set_equality(spark):
+    """VERDICT r5 directive #6: the (file, offset-range)-split read and
+    the file-per-task read cover the SAME archive with record-set
+    equality — same rows, same offsets, same parse-error isolation —
+    and the two splits of one archive are both non-empty (two tasks
+    genuinely share the file)."""
+    import pandas as pd
+
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    blob = make_warc_gz(_recs(10))
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["hot.warc.gz"], "content": [blob]})
+    )
+    whole = warc_records(files)
+    offsets = whole.select("filename", "member_offset", "member_length")
+    split = warc_records_split(files, offsets, n_splits=2)
+
+    key = lambda r: (r["filename"], r["member_offset"])
+    rows_whole = sorted((r.asDict() for r in whole.collect()), key=key)
+    rows_split = sorted((r.asDict() for r in split.collect()), key=key)
+    assert [
+        {k: v for k, v in r.items() if k != "split_id"} for r in rows_split
+    ] == rows_whole
+
+    by_split = {}
+    for r in rows_split:
+        by_split.setdefault(r["split_id"], []).append(r["member_offset"])
+    assert set(by_split) == {0, 1}, by_split
+    # contiguous byte ranges: every split-0 offset below every split-1
+    assert max(by_split[0]) < min(by_split[1])
+
+
+def test_split_read_spreads_across_tasks(spark):
+    """The split read's physical plan repartitions on (filename,
+    split_id), and the two splits of one archive land in different
+    Spark partitions — the actual two-task evidence."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    blob = make_warc_gz(_recs(12))
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["hot.warc.gz"], "content": [blob]})
+    )
+    offsets = warc_records(files).select(
+        "filename", "member_offset", "member_length"
+    )
+    split = warc_records_split(
+        files, offsets, n_splits=2, num_partitions=2
+    ).withColumn("_pid", F.spark_partition_id())
+    pid_by_split = {}
+    for r in split.select("split_id", "_pid").distinct().collect():
+        pid_by_split.setdefault(r.split_id, set()).add(r._pid)
+    assert len(pid_by_split[0]) == 1 and len(pid_by_split[1]) == 1
+    assert pid_by_split[0] != pid_by_split[1], (
+        f"both splits in one task: {pid_by_split}"
+    )
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(filename" in plan, plan[:800]
+
+
+def test_split_read_parse_error_isolated(spark):
+    """A corrupt slice in one split yields a parse_error row for that
+    member only; the sibling split is untouched."""
+    import pandas as pd
+
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    blob = make_warc_gz(_recs(6))
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["f.warc.gz"], "content": [blob]})
+    )
+    offsets_df = warc_records(files).select(
+        "filename", "member_offset", "member_length"
+    )
+    offs = sorted(
+        (r.member_offset, r.member_length) for r in offsets_df.collect()
+    )
+    # corrupt the LAST member's bytes (deflate stream, not the gzip head)
+    o, ln = offs[-1]
+    corrupt = bytearray(blob)
+    corrupt[o + 20 : o + 24] = b"\x00\x00\x00\x00"
+    files_bad = spark.createDataFrame(
+        pd.DataFrame({"filename": ["f.warc.gz"], "content": [bytes(corrupt)]})
+    )
+    rows = warc_records_split(files_bad, offsets_df, n_splits=2).collect()
+    assert len(rows) == 6
+    errs = [r for r in rows if r.parse_error is not None]
+    good = [r for r in rows if r.parse_error is None]
+    assert len(errs) >= 1 and all(e.member_offset == o for e in errs)
+    assert len(good) == 6 - len(errs)

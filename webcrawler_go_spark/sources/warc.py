@@ -183,6 +183,43 @@ _RECORDS_SCHEMA = (
 )
 
 
+_RECORDS_COLUMNS = [
+    "filename", "member_offset", "member_length", "record_id",
+    "warc_type", "target_uri", "warc_date", "http_status",
+    "mime", "content_length", "payload", "parse_error",
+]
+
+
+def _record_row(fname: str, off: int, ln: int, raw: bytes) -> dict:
+    """One inflated member → one flat record-table row; parse failures
+    become `parse_error` rows (per-row isolation, never a task
+    failure). Shared by the file-per-task and split-read kernels so
+    both paths produce byte-identical rows."""
+    base = {
+        "filename": fname, "member_offset": off,
+        "member_length": ln, "record_id": None,
+        "warc_type": None, "target_uri": None,
+        "warc_date": None, "http_status": None,
+        "mime": None, "content_length": None,
+        "payload": None, "parse_error": None,
+    }
+    try:
+        rec = parse_warc_record(raw)
+        base.update(
+            record_id=rec["record_id"],
+            warc_type=rec["warc_type"],
+            target_uri=rec["target_uri"],
+            warc_date=rec["warc_date"],
+            http_status=rec["http_status"],
+            mime=rec["mime"],
+            content_length=len(rec["payload"]),
+            payload=rec["payload"].decode("utf-8", "replace"),
+        )
+    except (ValueError, UnicodeDecodeError) as exc:
+        base["parse_error"] = f"{type(exc).__name__}: {exc}"
+    return base
+
+
 def warc_records(
     files: DataFrame, name_col: str = "filename", blob_col: str = "content"
 ) -> DataFrame:
@@ -191,7 +228,8 @@ def warc_records(
     Input is one row per archive (`binaryFile` layout: path + bytes);
     parallelism is per file, the real-world WARC processing unit. A
     malformed member yields a `parse_error` row for that member and the
-    walk continues — one bad record never fails the task."""
+    walk continues — one bad record never fails the task. When one hot
+    archive would pin a task, use `warc_records_split`."""
 
     def kernel(batches):
         import pandas as pd
@@ -201,39 +239,116 @@ def warc_records(
             for fname, blob in zip(b[name_col], b[blob_col]):
                 blob = bytes(blob)
                 for off, ln, raw in iter_warc_members(blob):
-                    base = {
-                        "filename": fname, "member_offset": off,
-                        "member_length": ln, "record_id": None,
-                        "warc_type": None, "target_uri": None,
-                        "warc_date": None, "http_status": None,
-                        "mime": None, "content_length": None,
-                        "payload": None, "parse_error": None,
-                    }
-                    try:
-                        rec = parse_warc_record(raw)
-                        base.update(
-                            record_id=rec["record_id"],
-                            warc_type=rec["warc_type"],
-                            target_uri=rec["target_uri"],
-                            warc_date=rec["warc_date"],
-                            http_status=rec["http_status"],
-                            mime=rec["mime"],
-                            content_length=len(rec["payload"]),
-                            payload=rec["payload"].decode("utf-8", "replace"),
-                        )
-                    except (ValueError, UnicodeDecodeError) as exc:
-                        base["parse_error"] = f"{type(exc).__name__}: {exc}"
-                    rows.append(base)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "filename", "member_offset", "member_length", "record_id",
-                    "warc_type", "target_uri", "warc_date", "http_status",
-                    "mime", "content_length", "payload", "parse_error",
-                ],
-            )
+                    rows.append(_record_row(fname, off, ln, raw))
+            yield pd.DataFrame(rows, columns=_RECORDS_COLUMNS)
 
     return files.mapInPandas(kernel, _RECORDS_SCHEMA)
+
+
+def warc_member_splits(
+    offsets: DataFrame, n_splits: int = 2
+) -> DataFrame:
+    """Member-offset sidecar (filename, member_offset, member_length) →
+    one row per (filename, split_id) with that split's pos-sorted member
+    list. Members are bucketed by BYTE position into ``n_splits``
+    equal byte-range buckets per file (split_id = ⌊offset·n/filelen⌋,
+    clamped) — so a split covers a contiguous compressed byte range,
+    the unit a ranged read fetches."""
+    flen = offsets.groupBy("filename").agg(
+        F.max(F.col("member_offset") + F.col("member_length")).alias("_flen")
+    )
+    bucketed = offsets.join(F.broadcast(flen), "filename").select(
+        "filename",
+        "member_offset",
+        "member_length",
+        F.least(
+            F.floor(F.col("member_offset") * n_splits / F.col("_flen")),
+            F.lit(n_splits - 1),
+        ).cast("int").alias("split_id"),
+    )
+    return bucketed.groupBy("filename", "split_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("member_offset", "member_length"))
+        ).alias("members")
+    )
+
+
+def warc_records_split(
+    files: DataFrame,
+    offsets: DataFrame,
+    n_splits: int = 2,
+    name_col: str = "filename",
+    blob_col: str = "content",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(file, offset-range)-split WARC read: the per-record gzip framing
+    makes an archive random-accessible, and the member offsets the CDX
+    path already computes are the split table. Each (file, split_id)
+    task inflates ONLY its byte slices [offset, offset+length) — so one
+    hot 1 GB archive spreads across ``n_splits`` tasks instead of
+    pinning one. Record-set equality with `warc_records` is the
+    contract (asserted in tests): same rows, same offsets, same
+    parse-error isolation.
+
+    ``offsets`` is (filename, member_offset, member_length) — in
+    production the CDX sidecar, here typically a prior light pass. The
+    explicit repartition on (filename, split_id) is what turns the
+    buckets into separate tasks; in this sandbox the blob column rides
+    the join once per split, where a real object store serves the slice
+    as a ranged GET (the join stands in for it — keys + offsets are
+    what shuffles, plus n_splits blob copies, not one row per member)."""
+    groups = warc_member_splits(offsets, n_splits=n_splits)
+    joined = files.select(
+        F.col(name_col).alias("filename"), F.col(blob_col).alias("_blob")
+    ).join(groups, "filename")
+    # rangepartitioning, not hash: with few (file, split) keys — the
+    # hot-archive case this path exists for — hash can collide both
+    # splits into one task; range boundaries separate distinct keys
+    # whenever partitions ≥ keys. An EXPLICIT num_partitions pins the
+    # spread (user-specified repartition is exempt from AQE partition
+    # coalescing — the mechanism demo on small data); the default lets
+    # AQE size the tasks, which is right when slices are ~100s of MB.
+    if num_partitions is not None:
+        joined = joined.repartitionByRange(
+            num_partitions, F.col("filename"), F.col("split_id")
+        )
+    else:
+        joined = joined.repartitionByRange(F.col("filename"), F.col("split_id"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for fname, blob, split_id, members in zip(
+                b["filename"], b["_blob"], b["split_id"], b["members"]
+            ):
+                blob = bytes(blob)
+                for mem in members:
+                    off = int(mem["member_offset"])
+                    ln = int(mem["member_length"])
+                    d = zlib.decompressobj(wbits=31)
+                    try:
+                        raw = d.decompress(
+                            blob[off : off + ln], _MAX_RECORD_BYTES + 1
+                        )
+                        if len(raw) > _MAX_RECORD_BYTES:
+                            raise ValueError(
+                                "WARC member exceeds per-record budget"
+                            )
+                        row = _record_row(fname, off, ln, raw)
+                    except zlib.error as exc:
+                        row = dict.fromkeys(_RECORDS_COLUMNS)
+                        row.update(
+                            filename=fname, member_offset=off,
+                            member_length=ln,
+                            parse_error=f"zlib.error: {exc}",
+                        )
+                    row["split_id"] = int(split_id)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=_RECORDS_COLUMNS + ["split_id"])
+
+    return joined.mapInPandas(kernel, _RECORDS_SCHEMA + ", split_id int")
 
 
 # ---------------------------------------------------------------------------
