@@ -20,7 +20,7 @@ CARTESIAN_OK = {"embedding_cosine_pairs"}
 # (urlseen_hll / cms_heavy_hitters combine a 1-row total/exact agg with
 # the sketch output for the on-record accuracy columns — 1-row dim,
 # never data-sized)
-BNLJ_OK: set[str] = {"urlseen_hll", "cms_heavy_hitters"}
+BNLJ_OK: set[str] = {"urlseen_hll", "cms_heavy_hitters", "adaptive_fetch_width"}
 # derive small synthetic frames via createDataFrame → no parquet scan
 NO_SCAN = {"head_probe", "url_hash31", "robots_parse"}
 

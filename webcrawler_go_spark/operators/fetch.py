@@ -152,8 +152,14 @@ def fetch_frontier(
     max_redirects: int = 10,
     referer_url: str | None = None,
     size_hint: int | None = None,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Fetch a scheduled frontier round.
+
+    ``chunk`` overrides the hot-host rank-chunk salt size (None → the
+    env/default schedule below) — the engine passes a sketch-derived
+    value so the hottest host spreads over a bounded task count
+    regardless of its actual depth.
 
     ``scheduled`` must carry (url_norm, host, seq, round). Returns
     FETCH_RESULT rows. The kernel is ``mapInPandas`` so each task streams
@@ -215,12 +221,17 @@ def fetch_frontier(
             # strict co-location: connection reuse + crawl-delay are
             # per-task-local there, and a politely-crawled host never
             # legitimately schedules >chunk URLs in one round anyway.
-            chunk = int(
-                _os.environ.get(
-                    "SPARK_GRAFT_FETCH_HOST_CHUNK",
-                    "0" if backend == "http" else "25000",
+            if chunk is None:
+                chunk = int(
+                    _os.environ.get(
+                        "SPARK_GRAFT_FETCH_HOST_CHUNK",
+                        "0" if backend == "http" else "25000",
+                    )
                 )
-            )
+            elif backend == "http":
+                # HTTP keeps strict host co-location (connection reuse,
+                # crawl-delay are per-task-local) — never salt it
+                chunk = 0
             if chunk > 0 and "seq" in scheduled.columns:
                 salt = (
                     F.col("seq").bitwiseAND(F.lit((1 << 32) - 1)) / F.lit(chunk)
