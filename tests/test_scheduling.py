@@ -109,3 +109,54 @@ def test_recrawl_single_exchange_on_url_key(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("hashpartitioning(url_norm") == 1, plan
+
+
+def _aimd_scalar(flags, n_rounds, base=10, mx=100):
+    """Scalar reference fold for aimd_budgets."""
+    b, nb = base, 0
+    for r in range(n_rounds):
+        if flags.get(r, False):
+            b, nb = max(1, b // 2), nb + 1
+        else:
+            b = min(mx, b + 1)
+    return b, nb
+
+
+def test_aimd_budgets_laws(spark):
+    """AIMD recurrence: clean history grows +1/round (capped), bad
+    history halves to the floor of 1, missing rounds count clean, and
+    an arbitrary mixed history matches the scalar fold exactly."""
+    from webcrawler_go_spark.operators.scheduling import aimd_budgets
+
+    rows = []
+    # h-clean: 8 clean rounds; h-bad: 8 bad rounds; h-idle: no rows at
+    # all (still must appear? no — aimd_budgets only emits hosts with
+    # ≥1 row; give it one clean row); h-mix: deterministic mixed flags
+    for r in range(8):
+        rows.append(("h-clean", r, 100, 1, 0))        # 1% bad — clean
+        rows.append(("h-bad", r, 100, 15, 10))        # 25% ≥ 20% — bad
+        if r % 3 == 0:
+            rows.append(("h-mix", r, 10, 2, 1))       # 30% — bad
+        elif r % 3 == 1:
+            rows.append(("h-mix", r, 10, 0, 0))       # clean
+        # r % 3 == 2: missing → clean
+    rows.append(("h-idle", 0, 50, 0, 0))
+    hr = spark.createDataFrame(
+        rows, "host string, round int, fetched long, errors long, blocked long"
+    )
+    out = {
+        r["host"]: (r["budget"], r["n_bad_rounds"])
+        for r in aimd_budgets(hr, n_rounds=8).collect()
+    }
+    assert out["h-clean"] == (18, 0)
+    assert out["h-bad"] == (1, 8)           # 10→5→2→1→1... floor holds
+    assert out["h-idle"] == (18, 0)         # 7 missing rounds are clean
+    mix_flags = {r: (r % 3 == 0) for r in range(8)}
+    assert out["h-mix"] == _aimd_scalar(mix_flags, 8)
+
+    # cap law: max_budget clamps additive growth
+    out2 = {
+        r["host"]: r["budget"]
+        for r in aimd_budgets(hr, n_rounds=8, base_budget=98, max_budget=100).collect()
+    }
+    assert out2["h-clean"] == 100

@@ -199,3 +199,64 @@ def recrawl_priority(
         prio.alias("priority_milli"),
         (prio >= hot_milli).alias("recrawl"),
     )
+
+
+def aimd_budgets(
+    host_rounds: DataFrame,
+    n_rounds: int,
+    base_budget: int = 10,
+    max_budget: int = 100,
+    hot_milli: int = 200,
+) -> DataFrame:
+    """AIMD per-host politeness-budget adaptation — the budget-rebalance
+    half of the adaptive-crawl story (the width half is
+    `frontier_loop._sketch_width_knobs`). The reference holds every
+    host to one fixed semaphore width (crawler.go's 20-way cap); at
+    10^10-URL scale budgets must react to per-host health:
+
+        bad_r  = (errors_r + blocked_r) · 1000 ≥ hot_milli · fetched_r
+        b_{r+1} = max(1, b_r div 2)          if bad_r   (multiplicative)
+                = min(max_budget, b_r + 1)   otherwise  (additive)
+
+    ``host_rounds`` is (host, round, fetched, errors, blocked) — the A1
+    counters keyed by host; a missing (host, round) row counts as a
+    clean round (an idle host shows no evidence of trouble).
+
+    Scale/plan shape: ONE exchange (the groupBy pivoting each host's
+    ≤ n_rounds flags into a map), then the recurrence unrolled as
+    ``n_rounds`` chained integer CASE steps — pure whole-stage codegen,
+    no interpreted fold, no per-row Python, no driver loop over DATA
+    (the Python loop below runs over the bounded round axis while
+    BUILDING the plan; expression size grows with the window length,
+    which is a config constant — use a sliding window of the last ~8
+    rounds, not the crawl's lifetime). Missing hosts never shuffle
+    twice: the map lookup is element_at on the single grouped row.
+    """
+    flags = host_rounds.groupBy("host").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("round").cast("int").alias("key"),
+                        (
+                            (F.col("errors") + F.col("blocked")) * 1000
+                            >= F.col("fetched") * hot_milli
+                        ).alias("value"),
+                    )
+                )
+            )
+        ).alias("_bad")
+    )
+    b = F.lit(base_budget).cast("long")
+    n_bad = F.lit(0).cast("long")
+    for r in range(n_rounds):
+        bad = F.coalesce(
+            F.element_at(F.col("_bad"), F.lit(r).cast("int")), F.lit(False)
+        )
+        n_bad = n_bad + F.when(bad, 1).otherwise(0)
+        b = F.when(
+            bad, F.greatest(F.lit(1).cast("long"), (b / 2).cast("long"))
+        ).otherwise(F.least(F.lit(max_budget).cast("long"), b + 1))
+    return flags.select(
+        "host", b.alias("budget"), n_bad.alias("n_bad_rounds")
+    )
