@@ -50,6 +50,11 @@ HEADLINE = [
     "media_tiff_container",     # S10 TIFF wrapper round-trip per row
     "urlseen_hll",              # sketch family: fixed-point HLL cardinality
     "fetch_latency_quantiles",  # histogram p50/p90/p99, no global sort
+    # round-6 additions
+    "embedding_ivfpq_rerank",   # IVFADC + exact re-rank (the 10^9 ANN path)
+    "webdata_pipeline",         # WARC → lang/quality/dedup end-to-end
+    "html_text_extract",        # WET strip, pure codegen regexp chain
+    "adaptive_fetch_width",     # HLL+CMS width knobs (the engine's sketch job)
 ]
 
 
