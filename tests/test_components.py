@@ -93,3 +93,34 @@ def test_pagerank_fixed_point_exact(spark):
     # node 4 has no in-links: teleport only; 3 has the most in-links: top
     assert got[4] == tel
     assert max(got, key=got.get) == 3
+
+
+def test_hits_matches_scalar_reference(spark):
+    """HITS fixed-point: the distributed loop reproduces a scalar
+    Python fold exactly (integer L1 rescale, 3 iterations) — including
+    the flooring, the max(Σ,1) guard, and sink/source nodes (auth 0
+    for in-degree-0, hub 0 for out-degree-0)."""
+    from webcrawler_go_spark.operators.components import hits_fixed_point
+
+    E = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in hits_fixed_point(edges, iterations=3).collect()
+    }
+
+    SCALE = 10**6
+    nodes = {u for u, _ in E} | {v for _, v in E}
+    h = {v: SCALE // len(nodes) for v in nodes}
+    a = None
+    for _ in range(3):
+        a_un = {v: sum(h[u] for (u, w) in E if w == v) for v in nodes}
+        sa = sum(a_un.values())
+        a = {v: a_un[v] * SCALE // max(sa, 1) for v in nodes}
+        h_un = {u: sum(a[w] for (uu, w) in E if uu == u) for u in nodes}
+        sh = sum(h_un.values())
+        h = {u: h_un[u] * SCALE // max(sh, 1) for u in nodes}
+    assert got == {v: (a[v], h[v]) for v in nodes}
+    # normalization law: each vector sums to ~SCALE (flooring loss < N)
+    assert SCALE - len(nodes) < sum(x for x, _ in got.values()) <= SCALE
+    assert SCALE - len(nodes) < sum(x for _, x in got.values()) <= SCALE

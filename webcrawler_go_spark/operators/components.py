@@ -212,3 +212,84 @@ def pagerank_fixed_point(
         ).localCheckpoint(eager=True)
         _unpersist_local_checkpoint(prev)
     return ranks.select("node", F.col("rank").alias("pagerank_scaled"))
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999) over the crawl link graph —
+    the classic complement to PageRank for seed selection: authorities
+    are the pages worth fetching, hubs are the pages worth re-crawling
+    for links. INTEGER fixed-point like `pagerank_fixed_point`: float
+    HITS needs an L2 normalization whose sqrt and addition order are
+    engine-dependent, so this uses the L1 form — after each half-step
+    the vector is rescaled to sum ≈ ``scale`` via x·scale // Σx (exact
+    integer ops, flooring loss < 1 unit per node, identical in every
+    engine).
+
+        a_i(v) = Σ_{u→v} h_{i-1}(u)   then a_i ← a_i · scale // Σ a_i
+        h_i(u) = Σ_{u→v} a_i(v)       then h_i ← h_i · scale // Σ h_i
+
+    Overflow bound (why the default scale is 10⁶, not pagerank's
+    10¹²): the rescale computes a·scale with a ≤ Σa ≤ scale·max_out_deg,
+    so int64 safety needs scale²·max_out_deg < 2⁶³ — 10⁶ supports
+    degrees to ~9·10⁶ (any real host graph), ppm precision.
+
+    The two Σ's are 1-row scalar aggregates collected per iteration
+    (the sanctioned 1-row-stats pattern; 2·iterations driver rows
+    total). Per iteration the plan is two edges⋈vector shuffle-joins +
+    two node-keyed groupBy-sums, map-side combined — the
+    pagerank/connected-components shape; lineage truncated per step.
+
+    Returns (node, auth_scaled, hub_scaled)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    e = e.localCheckpoint(eager=True)
+    hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_un = nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
+            "node", F.expr("coalesce(s, 0L)").alias("a")
+        )
+        sa = int(a_un.agg(F.sum("a")).first()[0] or 0)
+        prev_a = auth
+        auth = a_un.select(
+            "node", F.expr(f"a * {scale} div {max(sa, 1)}").alias("auth")
+        ).localCheckpoint(eager=True)
+        if prev_a is not None:
+            _unpersist_local_checkpoint(prev_a)
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h_un = nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
+            "node", F.expr("coalesce(s, 0L)").alias("h")
+        )
+        sh = int(h_un.agg(F.sum("h")).first()[0] or 0)
+        prev_h = hubs
+        hubs = h_un.select(
+            "node", F.expr(f"h * {scale} div {max(sh, 1)}").alias("hub")
+        ).localCheckpoint(eager=True)
+        _unpersist_local_checkpoint(prev_h)
+    return auth.join(hubs, "node").select(
+        "node",
+        F.col("auth").cast("long").alias("auth_scaled"),
+        F.col("hub").cast("long").alias("hub_scaled"),
+    )
