@@ -547,3 +547,37 @@ def test_ivfpq_rerank_contract_sf001():
         )
     )
     assert rr == r50, f"re-rank recall@5 {rr:.2f} != shortlist recall@50 {r50:.2f}"
+
+
+def test_ivfpq_build_once_query_many(spark):
+    """The production IVFADC split: one materialized index serves
+    multiple query batches, each byte-identical to the end-to-end
+    composition (and therefore to the numpy golden) — the Lloyd
+    training shuffles run once, not per batch."""
+    import numpy as np
+
+    from webcrawler_go_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_query,
+        ivfpq_topk_numpy,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 50, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    index = ivfpq_build(emb, n_cells=4, m=4, n_cents=8, materialize=True)
+    for lo, hi in ((0, 3), (3, 6)):
+        batch = emb.filter(f"vec_id >= {lo} and vec_id < {hi}")
+        got = sorted(
+            (r["query_id"], r["neighbor"], r["adc_d2_micro"], r["rank"])
+            for r in ivfpq_query(index, batch, k=5, nprobe=2).collect()
+        )
+        want = ivfpq_topk_numpy(
+            list(range(n)), vecs, range(lo, hi),
+            k=5, n_cells=4, nprobe=2, m=4, n_cents=8,
+        )
+        assert got == want, (lo, hi)

@@ -1134,7 +1134,64 @@ def ivfpq_topk(
       order-independent integer SUM. No float crosses an exchange.
 
     Returns (query_id, neighbor, adc_d2_micro, rank). Self-pairs
-    excluded; ties → lowest neighbor id."""
+    excluded; ties → lowest neighbor id.
+
+    Composition of `ivfpq_build` (train-once index) + `ivfpq_query`
+    (per-query-batch scan). Production deployments call the halves
+    directly: build once with ``materialize=True`` (or persist the
+    artifact tables), then amortize every query batch against the same
+    index — the bench row's cost is dominated by the training half."""
+    index = ivfpq_build(
+        emb, n_cells=n_cells, m=m, n_cents=n_cents,
+        lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+    )
+    return ivfpq_query(
+        index, queries, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    )
+
+
+def _residual_subvectors(
+    edf: DataFrame, adf: DataFrame, cx: DataFrame, d_sub: int
+) -> DataFrame:
+    """(id, v) ⨝ (id, cell) → (id, cell, m, pm) where pm is the
+    pos-sorted struct array of the residual subvector elements and
+    ``cx`` is the exploded centroid table (cell, dpos, c)."""
+    ex = edf.join(adf, "id").select(
+        "id", "cell", F.posexplode("v").alias("dpos", "x")
+    )
+    rex = ex.join(F.broadcast(cx), ["cell", "dpos"]).select(
+        "id",
+        "cell",
+        (F.col("dpos") / F.lit(d_sub)).cast("int").alias("m"),
+        (F.col("dpos") % F.lit(d_sub)).alias("pos"),
+        (F.col("x") - F.col("c")).alias("xr"),
+    )
+    return rex.groupBy("id", "cell", "m").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "xr"))).alias("pm")
+    )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    n_cents: int = 16,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = False,
+) -> dict:
+    """The train-once half of IVFADC: IVF coarse quantizer + global
+    residual PQ codebook + corpus codes. Returns the index artifacts
+
+        {"cents", "assignments", "pq_cents", "codes", "m", "d_sub"}
+
+    — at 10⁹ vectors these persist as tables (codes = m small ints per
+    vector, ~1/32 the float corpus; cents/pq_cents are metadata-scale)
+    and every query batch reuses them. ``materialize=True``
+    localCheckpoints the four frames so repeated `ivfpq_query` calls
+    pay the Lloyd iterations exactly once (the in-session stand-in for
+    persisting to storage)."""
     from pyspark.sql import Window
 
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -1147,25 +1204,7 @@ def ivfpq_topk(
         vec_col=vec_col, id_col=id_col,
     )
     cx = cents.select("cell", F.posexplode("centroid").alias("dpos", "c"))
-
-    def residual_sub(edf: DataFrame, adf: DataFrame) -> DataFrame:
-        """(id, v) ⨝ (id, cell) → (id, cell, m, pm) where pm is the
-        pos-sorted struct array of the residual subvector elements."""
-        ex = edf.join(adf, "id").select(
-            "id", "cell", F.posexplode("v").alias("dpos", "x")
-        )
-        rex = ex.join(F.broadcast(cx), ["cell", "dpos"]).select(
-            "id",
-            "cell",
-            (F.col("dpos") / F.lit(d_sub)).cast("int").alias("m"),
-            (F.col("dpos") % F.lit(d_sub)).alias("pos"),
-            (F.col("x") - F.col("c")).alias("xr"),
-        )
-        return rex.groupBy("id", "cell", "m").agg(
-            F.array_sort(F.collect_list(F.struct("pos", "xr"))).alias("pm")
-        )
-
-    rsv = residual_sub(e, assignments)
+    rsv = _residual_subvectors(e, assignments, cx, d_sub)
 
     # PQ codebook seeds: residual slices of the n_cents lowest corpus ids
     wseed = Window.orderBy("id")
@@ -1231,10 +1270,44 @@ def ivfpq_topk(
 
     codes = passign(pq_cents).withColumnRenamed("pcell", "code")
 
-    # query side: probe nprobe cells, residual LUT per (query, probed cell)
+    if materialize:
+        cents = cents.localCheckpoint(eager=True)
+        assignments = assignments.localCheckpoint(eager=True)
+        pq_cents = pq_cents.localCheckpoint(eager=True)
+        codes = codes.localCheckpoint(eager=True)
+    return {
+        "cents": cents,
+        "assignments": assignments,
+        "pq_cents": pq_cents,
+        "codes": codes,
+        "m": m,
+        "d_sub": d_sub,
+    }
+
+
+def ivfpq_query(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The per-query-batch half of IVFADC against a built index: probe
+    ``nprobe`` cells, build the per-(query, probed-cell) residual LUT
+    (integer micro-units, broadcast), ADC-scan only those cells' codes.
+    Marginal cost per batch: one broadcast-probe assignment + the
+    codes ⨝ LUT integer scan — the training shuffles never re-run."""
+    from pyspark.sql import Window
+
+    cents, assignments = index["cents"], index["assignments"]
+    pq_cents, codes = index["pq_cents"], index["codes"]
+    d_sub = index["d_sub"]
+    cx = cents.select("cell", F.posexplode("centroid").alias("dpos", "c"))
+
     qe = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     qa = assign_to_centroids(qe, cents, nprobe=nprobe)
-    qrsv = residual_sub(qe, qa)
+    qrsv = _residual_subvectors(qe, qa, cx, d_sub)
     qex = qrsv.select(
         F.col("id").alias("query_id"), F.col("cell").alias("qcell"), "m",
         F.explode("pm").alias("s"),
