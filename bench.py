@@ -50,8 +50,11 @@ HEADLINE = [
     "media_tiff_container",     # S10 TIFF wrapper round-trip per row
     "urlseen_hll",              # sketch family: fixed-point HLL cardinality
     "fetch_latency_quantiles",  # histogram p50/p90/p99, no global sort
-    # round-6 additions
-    "embedding_ivfpq_rerank",   # IVFADC + exact re-rank (the 10^9 ANN path)
+    # round-6 additions. embedding_ivfpq_rerank is deliberately NOT
+    # here: its timed run would re-train both codebook levels (measured
+    # 36.5 s build vs 3.45 s query+re-rank batch at sf0.1 — a 10:1
+    # train:query split a production deployment amortizes by caching
+    # the index; see BENCH.md). The correctness row still records it.
     "webdata_pipeline",         # WARC → lang/quality/dedup end-to-end
     "html_text_extract",        # WET strip, pure codegen regexp chain
     "adaptive_fetch_width",     # HLL+CMS width knobs (the engine's sketch job)
