@@ -261,9 +261,12 @@ def warc_member_splits(
         "filename",
         "member_offset",
         "member_length",
+        # integer div, not float floor: float64 ⌊a·n/b⌋ can round up at
+        # the boundary once a·n approaches 2^53 (multi-PB archives);
+        # `div` matches the oracle's `//` bit-for-bit at every size
         F.least(
-            F.floor(F.col("member_offset") * n_splits / F.col("_flen")),
-            F.lit(n_splits - 1),
+            F.expr(f"member_offset * {n_splits} div _flen"),
+            F.lit(n_splits - 1).cast("long"),
         ).cast("int").alias("split_id"),
     )
     return bucketed.groupBy("filename", "split_id").agg(
