@@ -411,3 +411,39 @@ def test_mixture_resample_empty_input(spark):
 
     df = spark.createDataFrame([], "doc_id long, source string")
     assert mixture_resample(df, alpha=0.5).collect() == []
+
+
+def test_token_budget_fill_prefix_law(spark):
+    """Token-budget fill: per-source kept tokens never exceed the
+    budget, the kept set is the MAXIMAL prefix in priority order (the
+    next doc in order would overshoot), and a source whose total is
+    under budget keeps everything."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.textanalysis import token_budget_fill
+
+    rows = []
+    # source A: 10 docs x 30 tokens = 300 total, budget 100 -> keep 3
+    for i in range(10):
+        rows.append((i, "A", 30, i))
+    # source B: total 50 < budget -> keep all
+    for i in range(5):
+        rows.append((100 + i, "B", 10, i))
+    # source C: uneven sizes exercise the overshoot boundary
+    for i, n in enumerate([40, 50, 20, 5]):       # cum: 40, 90, 110, 115
+        rows.append((200 + i, "C", n, i))
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, priority long"
+    )
+    kept = token_budget_fill(d, budget_tokens=100).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sorted(r["doc_id"] for r in by_src["A"]) == [0, 1, 2]
+    assert sorted(r["doc_id"] for r in by_src["B"]) == [100, 101, 102, 103, 104]
+    # C: 40+50=90 <= 100; adding the 20-token doc overshoots -> prefix
+    # stops even though the later 5-token doc would individually fit
+    assert sorted(r["doc_id"] for r in by_src["C"]) == [200, 201]
+    for src, docs in by_src.items():
+        assert sum(r["n_tokens"] for r in docs) <= 100, src
+        assert max(r["cum_tokens"] for r in docs) <= 100, src

@@ -514,3 +514,33 @@ def mixture_resample(
         .filter(draw < F.col("rate_micro"))
         .select(F.col(key_col), F.col(source_col), F.col("rate_micro"))
     )
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    order_col: str = "priority",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a per-source TOKEN budget in priority order — the budgeted
+    counterpart to `mixture_resample`'s rate damping. Mixture specs for
+    training runs say "X billion tokens of source S", not "keep p% of
+    S's documents"; this keeps each source's documents in
+    (order_col, id) order while the running token sum stays within
+    budget. The cumulative sum is monotone (token counts ≥ 0), so
+    `cum ≤ budget` IS the prefix-fill semantics — the first document
+    that overshoots and everything after it drop out.
+
+    Plan: one source-keyed Window cumsum (keyed partition, never a
+    single-partition frame — plan-suite-enforced). A source so hot its
+    partition can't sort in one task takes the `rank.global_cumsum`
+    two-phase shape per source; at mixture scale sources are a handful
+    of corpora, and the per-source data is the thing being CAPPED.
+    Returns the kept rows with their inclusive `cum_tokens`."""
+    w = Window.partitionBy(source_col).orderBy(order_col, id_col)
+    return (
+        docs.withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
