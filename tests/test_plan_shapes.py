@@ -122,6 +122,31 @@ def test_fetch_partitioning_spreads_hot_hosts(spark):
     assert "seq" in part and "4294967295" in part, part
 
 
+def test_token_budget_fill_no_single_task_source(spark):
+    """VERDICT r6 What's-wrong #2: the per-source budget cumsum must NOT
+    sort a whole source in one task. The plan may window/sort only on
+    (_pid, source) tiles — never partition an exchange or a window by
+    the bare source column, and never collapse to a single partition."""
+    import re
+
+    plan = _plan(spark, "token_budget_fill")
+    assert "Exchange SinglePartition" not in plan
+    # every window spec must mention the partition-tile id: the local
+    # cumsum partitions by (_pid, source); the metadata-scale offset
+    # window orders by _pid. The old single-task plan's
+    # windowspecdefinition(source, priority, doc_id) has no _pid.
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window nodes in the cumsum plan"
+    for spec in specs:
+        assert "_pid" in spec, spec
+    # A source-keyed hash exchange survives, but only feeding the
+    # per-(pid, source) totals' offset window — O(n_parts + n_sources)
+    # rows, metadata scale. The corpus-sized range exchange over
+    # (source, priority, doc_id) sits behind grouped_cumsum's pinned
+    # localCheckpoint, so the visible plan starts from its RDD scan.
+    assert "Scan ExistingRDD" in plan
+
+
 def test_no_row_at_a_time_python_udfs(spark):
     """Arrow-batched pandas UDFs are allowed (ArrowEvalPython /
     MapInPandas / MapInArrow); per-row BatchEvalPython is not."""

@@ -320,6 +320,32 @@ def test_global_cumsum_equals_single_partition_window(spark):
     assert got == want
 
 
+def test_grouped_cumsum_equals_keyed_window(spark):
+    """Two-phase per-group cumsum ≡ Window.partitionBy(group) on a
+    HOT-group input (one group holds ~90% of rows — the shape where the
+    keyed Window funnels a corpus through one task)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from webcrawler_go_spark.operators.rank import grouped_cumsum
+
+    rows = [(i, "hot" if i % 10 else f"cold{i % 3}", (i * 37 + 11) % 97)
+            for i in range(997)]
+    df = spark.createDataFrame(rows, "k long, g string, v long")
+    got = {
+        (r.g, r.k): r.cum
+        for r in grouped_cumsum(
+            df, ["g"], ["k"], "v", out_col="cum", n_parts=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {(r.g, r.k): r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
 def test_pack_sequences_invariants(spark):
     """Concat-and-chunk packing: (a) every doc's spans tile [0,
     n_tokens) exactly; (b) every sequence except the last is filled to

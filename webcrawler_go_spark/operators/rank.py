@@ -102,3 +102,64 @@ def global_cumsum(
         .withColumn(out_col, (F.col("_off") + F.col("_lc")).cast("long"))
         .drop("_pid", "_lc", "_off")
     )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact PER-GROUP running sum of ``val_col`` over ``order_cols``
+    (inclusive), built so a single HOT group never funnels through one
+    task — the failure mode of ``Window.partitionBy(group)`` when one
+    group holds most of the corpus (e.g. a dominant source in a mixture
+    spec at 100 TB).
+
+    Same two-phase shape as `global_cumsum`, with the group prefixed to
+    the range key:
+
+    1. ``repartitionByRange(n_parts, group, order)`` — a hot group's
+       rows tile ACROSS consecutive partitions in key order;
+    2. local window cumsum per ``(_pid, group)`` — each task sorts only
+       its tile;
+    3. per-``(_pid, group)`` totals — O(n_parts + n_groups) rows, since
+       a group appears in at most (its tile count + 1) partitions — get
+       exclusive per-group offsets via a metadata-scale window keyed by
+       group and ordered by partition id (no Exchange SinglePartition:
+       the window key is the group);
+    4. broadcast the offsets back, cum = offset + local cum.
+
+    Equality with the single-phase keyed Window is asserted in
+    tests/test_textdedup.py; the no-global-sort plan shape in
+    tests/test_plan_shapes.py."""
+    gkey = [F.col(c) for c in group_cols]
+    okey = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(n_parts, *gkey, *okey).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=True)   # pin ONE evaluation of the exchange
+    w_local = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*okey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_lc", F.sum(F.col(val_col)).over(w_local))
+    tot = d.groupBy("_pid", *group_cols).agg(F.sum(val_col).alias("_s"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tot.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    return (
+        d.join(F.broadcast(off), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_off") + F.col("_lc")).cast("long"))
+        .drop("_pid", "_lc", "_off")
+    )
