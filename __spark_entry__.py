@@ -1238,6 +1238,75 @@ def q_resume_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adaptive_crawl_oracle_sql() -> str:
+    """Golden VALUES from the sequential reference crawl with the AIMD
+    budget recurrence mirrored (oracle/sequential.py): per-host fetched
+    count + the FINAL adaptive budget — both must match the engine's
+    data-encoded recurrence bit-for-bit."""
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.oracle import sequential
+    from webcrawler_go_spark.worldgen import World
+    from webcrawler_go_spark.worldgen import seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=8)
+    res = sequential.crawl(
+        world, gen_seeds(world, 3), cfg, max_rounds=4,
+        adaptive_budget=True, aimd_hot_milli=100,
+    )
+    per_host: dict[str, int] = {}
+    for e in res.fetch_log:
+        per_host[e["host"]] = per_host.get(e["host"], 0) + 1
+    rows = ",\n              ".join(
+        f"('{h}', {c}, {res.budgets[h]})" for h, c in sorted(per_host.items())
+    )
+    return (
+        "SELECT host, CAST(fetched AS BIGINT) AS fetched,\n"
+        "       CAST(final_budget AS INT) AS final_budget\n"
+        f"            FROM (VALUES {rows}) AS t(host, fetched, final_budget)"
+    )
+
+
+def q_adaptive_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD politeness budgets IN THE LOOP (VERDICT r6 directive #3 —
+    the reference's blocked-recovery intent, crawler.go:303-336, as
+    data-encoded scheduling): the full engine run with
+    ``adaptive_budget=True`` recomputes the budget dim at every crawl
+    boundary from the per-host A1 counters via
+    `scheduling.aimd_budgets` — halve on a measured bad round
+    ((errors+blocked)/fetched ≥ 10%), +1 additive recovery on clean
+    rounds. Returns per-host (fetched, final_budget); the oracle is the
+    sequential golden crawl with the identical recurrence, so a budget
+    that halves a round late (or a schedule that ignores the shrunken
+    budget) hash-fails. Laws + full sequence parity:
+    tests/test_crawl_parity.py::test_adaptive_budget_parity_and_laws."""
+    import tempfile
+
+    from webcrawler_go_spark.config import CrawlConfig
+    from webcrawler_go_spark.plans.frontier_loop import CrawlEngine
+    from webcrawler_go_spark.worldgen import World, seeds as gen_seeds
+
+    world = World(n_hosts=6, pages_per_host=30)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=8)
+    state = tempfile.mkdtemp(prefix="q-aimd-")
+    eng = CrawlEngine(
+        spark, cfg, state, world=world,
+        adaptive_budget=True, aimd_hot_milli=100,
+    )
+    eng.run(
+        spark.createDataFrame(
+            gen_seeds(world, 3), "url string, priority double, seq int"
+        ),
+        max_rounds=4,
+    )
+    counts = eng.fetch_log().groupBy("host").agg(F.count("*").alias("fetched"))
+    return counts.join(F.broadcast(eng.budgets), "host").select(
+        "host",
+        "fetched",
+        F.col("max_fetches_per_round").cast("int").alias("final_budget"),
+    )
+
+
 def q_capture_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/X3 IN THE LOOP (capture mode, pdfcapture.go:440-467): the full
     engine run with cfg.render_links — rendered-DOM links join the
@@ -4814,7 +4883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fewer need rotation in r7. Everything below the cap holds a green
     r4/r5 row on code byte-unchanged since that row was recorded."""
     return {
-        # (1) new this round (uncommented as each lands in r6)
+        # (1) new this round — r7 (registry re-tiered at end of round)
+        "adaptive_crawl": q_adaptive_crawl,
+        # (1) new in r6
         "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "embedding_ivfpq_rerank": q_embedding_ivfpq_rerank,
         "warc_source_split": q_warc_source_split,
@@ -5281,6 +5352,7 @@ def oracle_sql() -> dict[str, str]:
         "url_hash31": _url_hash31_oracle_sql(),
         "head_probe": _head_probe_oracle_sql(),
         "crawl_multiround": _crawl_multiround_oracle_sql(),
+        "adaptive_crawl": _adaptive_crawl_oracle_sql(),
         # resume-from-snapshot must equal the UNINTERRUPTED golden crawl
         "resume_crawl": _crawl_multiround_oracle_sql(),
         # the STREAMING-hosted loop must equal the batch engine and the

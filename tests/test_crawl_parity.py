@@ -219,3 +219,73 @@ def test_sketch_width_knobs_populated_and_sound(spark, state_dir):
     # manifest path — just a different estimate source): run it through
     eng.run_round(1)
     assert eng.stats[-1].scheduled > 0
+
+
+def test_adaptive_budget_parity_and_laws(spark, state_dir):
+    """VERDICT r6 directive #3: AIMD budgets wired into the loop.
+
+    (a) full parity — engine with adaptive_budget=True reproduces the
+        sequential oracle's seen set and per-host fetch SEQUENCES (the
+        order-sensitive gate) with the identical recurrence mirrored in
+        oracle/sequential.py;
+    (b) final budget-dim equality host-by-host;
+    (c) the laws: budgets only halve on rounds measured bad by the A1
+        counters ((errors+blocked)/fetched ≥ hot_milli/1000) and only
+        grow by +1 on clean rounds — recomputed here independently from
+        the engine's own fetch_log."""
+    world = World(n_hosts=8, pages_per_host=40)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=10)
+    hot_milli = 100
+    eng = CrawlEngine(
+        spark, cfg, state_dir, world=world,
+        adaptive_budget=True, aimd_hot_milli=hot_milli,
+    )
+    eng.run(_seeds_df(spark), max_rounds=4)
+    oracle = sequential.crawl(
+        world, gen_seeds(world, N_SEEDS), cfg, max_rounds=4,
+        adaptive_budget=True, aimd_hot_milli=hot_milli,
+    )
+
+    # (a) parity under adaptive budgets
+    eng_seen = {r.url_norm for r in eng.url_seen().collect()}
+    assert eng_seen == oracle.seen
+    eng_seq = {
+        r["host"]: r["fetch_sequence"] for r in eng.per_host_sequences().collect()
+    }
+    assert set(eng_seq) == set(oracle.sequences)
+    for host, seq in oracle.sequences.items():
+        assert eng_seq[host] == seq, f"order mismatch on {host}"
+
+    # (b) final budget dim equality
+    eng_bud = {
+        r["host"]: r["max_fetches_per_round"] for r in eng.budgets.collect()
+    }
+    assert eng_bud == oracle.budgets
+
+    # (c) halve-on-bad / +1-on-clean, from the engine's own fetch log
+    log = eng.fetch_log().select("host", "round", "error_class", "blocked").collect()
+    health = {}
+    for row in log:
+        hh = health.setdefault(row["host"], {}).setdefault(row["round"], [0, 0, 0])
+        hh[0] += 1
+        if row["error_class"] is not None:
+            hh[1] += 1
+        elif row["blocked"]:
+            hh[2] += 1
+    n_halved = n_grew = 0
+    for host, rounds in health.items():
+        b = cfg.default_host_budget
+        for rr in range(0, 4):
+            row = rounds.get(rr)
+            bad = row is not None and (row[1] + row[2]) * 1000 >= row[0] * hot_milli
+            nxt = max(1, b // 2) if bad else min(100, b + 1)
+            if bad:
+                assert nxt <= b, (host, rr)
+                n_halved += 1
+            else:
+                assert nxt >= b
+                n_grew += 1
+            b = nxt
+        assert eng_bud[host] == b, host
+    # the world actually exercises BOTH arms
+    assert n_halved > 0 and n_grew > 0

@@ -63,9 +63,21 @@ def test_truncated_tail_tolerated():
     assert len(members) == 2  # complete members survive, truncation stops the walk
 
 
-def test_garbage_member_stops_walk_cleanly():
-    blob = make_warc_gz(_recs(2)) + b"not gzip at all"
-    assert len(list(iter_warc_members(blob))) == 2
+def test_garbage_region_yields_marker_not_silent_drop():
+    """An undecodable region becomes a (offset, skipped, None) marker —
+    never a silent stop — and the walk resyncs at the next gzip magic
+    so members AFTER the corruption still come through."""
+    good2 = make_warc_gz(_recs(2))
+    blob = good2 + b"not gzip at all"
+    members = list(iter_warc_members(blob))
+    assert len(members) == 3
+    assert members[2] == (len(good2), len(blob) - len(good2), None)
+    # corruption mid-archive: later members survive via magic resync
+    tail = make_warc_gz(_recs(1))
+    blob2 = good2 + b"\x99garbage\x99" + tail
+    members2 = list(iter_warc_members(blob2))
+    assert [m[2] is None for m in members2] == [False, False, True, False]
+    assert members2[3][2] is not None and members2[3][0] == len(good2) + 9
 
 
 def test_parse_error_isolated_per_row(spark):
@@ -159,6 +171,36 @@ def test_split_read_record_set_equality(spark):
     assert set(by_split) == {0, 1}, by_split
     # contiguous byte ranges: every split-0 offset below every split-1
     assert max(by_split[0]) < min(by_split[1])
+
+
+def test_split_read_equality_on_corrupt_archive(spark):
+    """ADVICE r6: the equality contract must survive CORRUPT archives —
+    a member that doesn't inflate yields the same canonical zlib
+    parse_error row from both readers (the file walk resyncs at the
+    next gzip magic instead of silently dropping the tail)."""
+    import pandas as pd
+
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    blob = make_warc_gz(_recs(4)) + b"\x00rotten\x00" + make_warc_gz(_recs(3))
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["rot.warc.gz"], "content": [blob]})
+    )
+    whole = warc_records(files)
+    offsets = whole.select("filename", "member_offset", "member_length")
+    split = warc_records_split(files, offsets, n_splits=2)
+
+    key = lambda r: (r["filename"], r["member_offset"])
+    rows_whole = sorted((r.asDict() for r in whole.collect()), key=key)
+    rows_split = sorted((r.asDict() for r in split.collect()), key=key)
+    assert [
+        {k: v for k, v in r.items() if k != "split_id"} for r in rows_split
+    ] == rows_whole
+    errs = [r for r in rows_whole if r["parse_error"] is not None]
+    assert len(errs) == 1
+    assert errs[0]["parse_error"] == "zlib.error: undecodable member"
+    # members after the corruption survived in BOTH paths
+    assert len(rows_whole) == 8
 
 
 def test_split_read_spreads_across_tasks(spark):

@@ -23,10 +23,16 @@ Stage order matters and is part of the contract:
 2. drop ``<!-- … -->`` comments;
 3. strip every remaining tag to a space (block boundaries become
    whitespace, so ``</p><p>`` doesn't glue words);
-4. decode the five predefined XML entities + ``&nbsp;`` — ``&amp;``
-   LAST so ``&amp;lt;`` decodes to the literal ``&lt;`` (one level,
-   the HTML spec's non-recursive reference rule);
-5. collapse whitespace runs and trim.
+4. decode character references — the common NAMED set plus each
+   target's decimal ``&#NNN;`` and hex ``&#xHH;`` forms (leading
+   zeros and either hex-letter case accepted), one step per TARGET
+   codepoint so the chain stays ~40 regex passes instead of one per
+   spelling; ``&amp;``/``&#38;``/``&#x26;`` LAST so ``&amp;lt;``
+   decodes to the literal ``&lt;`` (one level, the HTML spec's
+   non-recursive reference rule);
+5. collapse whitespace runs and trim. The run class is written out as
+   ``[ \\t\\n\\x0B\\f\\r]`` — java's ``\\s`` matches U+000B but RE2's
+   does not, so the shorthand is OUTSIDE the common subset (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -34,19 +40,70 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Character-reference table: (codepoint, named refs, replacement).
+# One chain step per TARGET codepoint decodes every spelling — named,
+# decimal (leading zeros tolerated), hex (either case). &nbsp;/&#160;
+# deliberately decode to a PLAIN space (the WET convention, and U+00A0
+# is outside both engines' whitespace-collapse class). The '&' row is
+# NOT here — it must stay the last decode step.
+_CHARREFS: list[tuple[int, tuple[str, ...], str]] = [
+    (60, ("lt",), "<"),
+    (62, ("gt",), ">"),
+    (34, ("quot",), '"'),
+    (39, ("apos",), "'"),
+    (160, ("nbsp",), " "),
+    (0x2013, ("ndash",), "–"),
+    (0x2014, ("mdash",), "—"),
+    (0x2018, ("lsquo",), "‘"),
+    (0x2019, ("rsquo",), "’"),
+    (0x201C, ("ldquo",), "“"),
+    (0x201D, ("rdquo",), "”"),
+    (0x2026, ("hellip",), "…"),
+    (0x2022, ("bull",), "•"),
+    (0xB7, ("middot",), "·"),
+    (0xA9, ("copy",), "©"),
+    (0xAE, ("reg",), "®"),
+    (0x2122, ("trade",), "™"),
+    (0xB0, ("deg",), "°"),
+    (0xB1, ("plusmn",), "±"),
+    (0xD7, ("times",), "×"),
+    (0xF7, ("divide",), "÷"),
+    (0x20AC, ("euro",), "€"),
+    (0xA3, ("pound",), "£"),
+    (0xA5, ("yen",), "¥"),
+    (0xA2, ("cent",), "¢"),
+    (0xA7, ("sect",), "§"),
+    (0xB6, ("para",), "¶"),
+    (0xAB, ("laquo",), "«"),
+    (0xBB, ("raquo",), "»"),
+    (0xA1, ("iexcl",), "¡"),
+    (0xBF, ("iquest",), "¿"),
+]
+
+
+def _charref_step(cp: int, names: tuple[str, ...], repl: str) -> tuple[str, str]:
+    """One (pattern, replacement) decoding every spelling of one
+    codepoint. RE2 ∩ java subset: non-capturing alternation + character
+    classes only. Hex-letter case tolerance comes from per-letter
+    classes ([aA]...), NOT an inline (?i) — a case-insensitive flag
+    would also match &LT; etc. for the named forms, which real HTML
+    does not use and the strict contract does not decode."""
+    hex_cp = "".join(
+        f"[{c.lower()}{c}]" if c.isalpha() else c for c in format(cp, "X")
+    )
+    alts = list(names) + [f"#0*{cp}", f"#[xX]0*{hex_cp}"]
+    return (f"&(?:{'|'.join(alts)});", repl)
+
+
 # (pattern, replacement) chain — applied in order by both engines.
 HTML_TEXT_STEPS: list[tuple[str, str]] = [
     (r"(?is)<script\b[^>]*>.*?</script>", " "),
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&#39;", "'"),
-    (r"&nbsp;", " "),
-    (r"&amp;", "&"),
-    (r"\s+", " "),
+    *[_charref_step(cp, names, repl) for cp, names, repl in _CHARREFS],
+    _charref_step(38, ("amp",), "&"),   # LAST: one-level decode rule
+    (r"[ \t\n\x0B\f\r]+", " "),
 ]
 
 

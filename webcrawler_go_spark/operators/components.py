@@ -255,6 +255,18 @@ def hits_fixed_point(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if iterations < 1:
+        raise ValueError("hits_fixed_point needs iterations >= 1")
+    if n == 0:
+        raise ValueError("hits_fixed_point: empty edge set (no nodes)")
+    if scale // n == 0:
+        # init hub would floor to 0 and every later half-step stays 0 —
+        # an all-zero result that LOOKS valid. Fail loudly instead.
+        raise ValueError(
+            f"hits_fixed_point: scale={scale} < n={n} nodes — the "
+            f"fixed-point init floors to zero; raise scale (int64 "
+            f"safety bound: scale^2 * max_out_degree < 2^63)"
+        )
     e = e.localCheckpoint(eager=True)
     hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("hub"))
     auth = None

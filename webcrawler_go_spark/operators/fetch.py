@@ -221,13 +221,15 @@ def fetch_frontier(
             # strict co-location: connection reuse + crawl-delay are
             # per-task-local there, and a politely-crawled host never
             # legitimately schedules >chunk URLs in one round anyway.
-            if chunk is None:
-                chunk = int(
-                    _os.environ.get(
-                        "SPARK_GRAFT_FETCH_HOST_CHUNK",
-                        "0" if backend == "http" else "25000",
-                    )
-                )
+            env_chunk = _os.environ.get("SPARK_GRAFT_FETCH_HOST_CHUNK")
+            if env_chunk is not None:
+                # An EXPLICITLY-set env var beats the engine's sketch-
+                # derived chunk (ADVICE r6): the documented tuning knob —
+                # including '0' to disable hot-host salting — must keep
+                # working when adaptive width is on.
+                chunk = int(env_chunk)
+            elif chunk is None:
+                chunk = 0 if backend == "http" else 25000
             elif backend == "http":
                 # HTTP keeps strict host co-location (connection reuse,
                 # crawl-delay are per-task-local) — never salt it

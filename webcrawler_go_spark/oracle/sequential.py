@@ -33,6 +33,9 @@ class OracleResult:
     sequences: dict[str, list[str]] = field(default_factory=dict)
     documents: dict[str, list[tuple]] = field(default_factory=dict)
     fetch_log: list[dict] = field(default_factory=list)
+    # final budget dim under adaptive_budget (host → budget after the
+    # last round boundary) — the engine-parity target for AIMD
+    budgets: dict[str, int] = field(default_factory=dict)
 
 
 def _host_of(url: str) -> str:
@@ -73,8 +76,18 @@ def crawl(
     budgets: dict[str, int] | None = None,
     max_rounds: int = 10,
     initial_frontier: list[dict] | None = None,
+    adaptive_budget: bool = False,
+    aimd_max_budget: int = 100,
+    aimd_hot_milli: int = 200,
+    aimd_window: int = 8,
 ) -> OracleResult:
-    budgets = budgets or {}
+    budgets = dict(budgets or {})
+    # AIMD parity mirror of CrawlEngine._aimd_rebalance /
+    # scheduling.aimd_budgets: per-host (fetched, errors, blocked) per
+    # round; at each round boundary every host with ≥1 counter row in
+    # the sliding window gets the recurrence from base (missing rounds
+    # count clean), hosts with none revert to the default budget.
+    health: dict[str, dict[int, list[int]]] = {}
     res = OracleResult()
     # frontier rows: (disc_round, parent_seq, link_pos, url, attempts, nbr)
     frontier = initial_frontier or [
@@ -148,6 +161,13 @@ def crawl(
                 {"url": url, "host": f["host"], "round": r, "seq": f["seq"],
                  "status": status, "error_class": err, "blocked": blocked}
             )
+            if adaptive_budget:
+                hh = health.setdefault(f["host"], {}).setdefault(r, [0, 0, 0])
+                hh[0] += 1
+                if err is not None:
+                    hh[1] += 1
+                elif blocked:
+                    hh[2] += 1
             retry = False
             if err is not None and err not in _NO_RETRY_ERRORS:
                 retry = f["attempts"] + 1 <= cfg.max_retries
@@ -219,4 +239,21 @@ def crawl(
                         }
                     )
         frontier = children + deferred + requeued + overflow
+        if adaptive_budget:
+            lo = max(0, r + 1 - aimd_window)
+            new_budgets: dict[str, int] = {}
+            for host, rounds in health.items():
+                window_rows = {rr: rounds[rr] for rr in rounds if rr >= lo}
+                if not window_rows:
+                    continue  # no evidence in window → default budget
+                b = cfg.default_host_budget
+                for rr in range(lo, r + 1):
+                    row = window_rows.get(rr)
+                    bad = row is not None and (
+                        (row[1] + row[2]) * 1000 >= row[0] * aimd_hot_milli
+                    )
+                    b = max(1, b // 2) if bad else min(aimd_max_budget, b + 1)
+                new_budgets[host] = b
+            budgets = new_budgets
+            res.budgets = dict(new_budgets)
     return res

@@ -85,6 +85,10 @@ class CrawlEngine:
         collect_stats: bool = True,
         maintenance_interval: int = 0,
         adaptive_width: bool | str = "auto",
+        adaptive_budget: bool = False,
+        aimd_max_budget: int = 100,
+        aimd_hot_milli: int = 200,
+        aimd_window: int = 8,
     ):
         self.spark = spark
         self.config = config
@@ -126,6 +130,25 @@ class CrawlEngine:
             )
         self.adaptive_width = bool(adaptive_width)
         self._width_knobs: dict | None = None
+        # AIMD politeness-budget adaptation (VERDICT r6 directive #3,
+        # design b92fc25): when on, the budget dim schedule_round
+        # broadcast-joins is RECOMPUTED at every crawl boundary from the
+        # accumulated per-host round counters (the A1 family) via
+        # scheduling.aimd_budgets — budgets halve on a measured bad
+        # round ((errors+blocked)/fetched ≥ hot_milli/1000) and recover
+        # additively, bounded by [1, aimd_max_budget], over a sliding
+        # window of the last ``aimd_window`` rounds. The recurrence is
+        # data-encoded (unrolled integer CASE chain, one host-keyed
+        # exchange); budgets steer SCHEDULING only — membership (dedup,
+        # seen) never reads them. A user-supplied static ``budgets``
+        # table serves as round 0's dim and is replaced from round 1 on.
+        # Sequential-oracle parity: oracle/sequential.py implements the
+        # identical recurrence (tests/test_crawl_parity.py).
+        self.adaptive_budget = bool(adaptive_budget)
+        self.aimd_max_budget = aimd_max_budget
+        self.aimd_hot_milli = aimd_hot_milli
+        self.aimd_window = aimd_window
+        self._host_health: DataFrame | None = None
         self.profile = False  # per-phase wall timing to stderr (debug)
         self.stats: list[RoundStats] = []
 
@@ -424,7 +447,11 @@ class CrawlEngine:
                     mode="replace", lineage={"round": r + 1},
                 )
             )
-            if self.adaptive_width and ckpt:
+            if self.adaptive_width:
+                # ADVICE r6: adaptive width must not silently die when
+                # SPARK_GRAFT_FRONTIER_CKPT=0 — without the checkpoint
+                # the sketch job recomputes the frontier lineage (the
+                # cost of disabling ckpt), but the knobs stay live.
                 # overlapped sketch job over the (checkpointed) next
                 # frontier: HLL distinct-URL estimate of round r+1's
                 # READY slice + CMS max-bucket depth bound for its
@@ -440,6 +467,15 @@ class CrawlEngine:
         # whose new_rows is the whole-table count, not this round's
         log_manifest = commit_manifests[2]
         _mark("commits")
+
+        if self.adaptive_budget:
+            # AFTER the commit pool on purpose: round r's overflow (now
+            # safely inside the checkpointed/committed next frontier)
+            # was planned against budgets(r-1) → health(r-1); rebalance
+            # earlier and the old health checkpoint gets unpersisted
+            # while that lineage still needs it.
+            self._aimd_rebalance(fetched, r)
+            _mark("aimd-rebalance")
 
         if self.maintenance_interval and (r + 1) % self.maintenance_interval == 0:
             target = max(4, self.spark.sparkContext.defaultParallelism)
@@ -490,6 +526,50 @@ class CrawlEngine:
         self._journal_metrics(st)
         fetched.unpersist()
         return st
+
+    def _aimd_rebalance(self, fetched: DataFrame, r: int) -> None:
+        """Fold round ``r``'s per-host counters into the health ledger
+        and recompute the budget dim for round ``r+1`` (J3's blocked-
+        recovery intent, crawler.go:303-336, as data-encoded
+        scheduling). ``fetched`` is already localCheckpointed, so the
+        host aggregate is one cheap host-keyed job; the ledger is
+        (hosts × window) rows, checkpointed per round to truncate
+        lineage. errors (error_class non-null) and blocked are disjoint
+        by the kernel contract (an errored fetch has no HTTP status to
+        be blocked on) — the oracle counts them the same way."""
+        from webcrawler_go_spark.operators.scheduling import aimd_budgets
+
+        hc = fetched.groupBy("host").agg(
+            F.count("*").alias("fetched"),
+            F.sum(
+                F.when(F.col("error_class").isNotNull(), 1).otherwise(0)
+            ).alias("errors"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
+        ).withColumn("round", F.lit(r))
+        lo = max(0, r + 1 - self.aimd_window)
+        health = hc if self._host_health is None else (
+            self._host_health.unionByName(hc)
+        )
+        health = health.filter(F.col("round") >= lo).localCheckpoint(eager=True)
+        from webcrawler_go_spark.operators.components import (
+            _unpersist_local_checkpoint,
+        )
+
+        if self._host_health is not None:
+            _unpersist_local_checkpoint(self._host_health)
+        self._host_health = health
+        bud = aimd_budgets(
+            health.withColumn("round", F.col("round") - lo),
+            n_rounds=r + 1 - lo,
+            base_budget=self.config.default_host_budget,
+            max_budget=self.aimd_max_budget,
+            hot_milli=self.aimd_hot_milli,
+        )
+        self.budgets = bud.select(
+            "host",
+            F.col("budget").cast("int").alias("max_fetches_per_round"),
+            F.lit(None).cast("int").alias("crawl_delay_ms"),
+        )
 
     def _sketch_width_knobs(self, next_frontier: DataFrame, at_round: int) -> None:
         """Sketch round ``at_round``'s ready slice for its width knobs.

@@ -105,8 +105,13 @@ def make_warc_gz(records: list[bytes]) -> bytes:
 
 def iter_warc_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
     """Yield (offset, compressed_length, inflated_bytes) per gzip
-    member. Stops at the first undecodable tail (trailing garbage is
-    tolerated, mirroring real-world truncated archives)."""
+    member. An undecodable REGION (zlib error mid-archive) yields a
+    marker tuple (offset, skipped_length, None) and the walk resyncs at
+    the next gzip magic — the record kernels turn markers into
+    `parse_error` rows, so one corrupt member never silently drops the
+    rest of the archive (and the file-per-task and split readers emit
+    the SAME rows on corrupt input). A truncated final member still
+    ends the walk silently, mirroring real-world truncated archives."""
     pos = 0
     n = len(blob)
     while pos < n:
@@ -114,7 +119,11 @@ def iter_warc_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
         try:
             raw = d.decompress(blob[pos:], _MAX_RECORD_BYTES + 1)
         except zlib.error:
-            return
+            nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+            end = nxt if nxt != -1 else n
+            yield pos, end - pos, None
+            pos = end
+            continue
         if len(raw) > _MAX_RECORD_BYTES:
             raise ValueError("WARC member exceeds per-record budget")
         if not d.eof:  # truncated member
@@ -183,6 +192,12 @@ _RECORDS_SCHEMA = (
 )
 
 
+# Canonical parse_error text for a member that does not inflate: both
+# read paths emit THIS string (not the zlib exception text, which varies
+# with where in the stream zlib gives up) so the file-per-task and
+# split readers stay row-identical on corrupt archives.
+_ZLIB_ERROR_ROW = "zlib.error: undecodable member"
+
 _RECORDS_COLUMNS = [
     "filename", "member_offset", "member_length", "record_id",
     "warc_type", "target_uri", "warc_date", "http_status",
@@ -228,8 +243,13 @@ def warc_records(
     Input is one row per archive (`binaryFile` layout: path + bytes);
     parallelism is per file, the real-world WARC processing unit. A
     malformed member yields a `parse_error` row for that member and the
-    walk continues — one bad record never fails the task. When one hot
-    archive would pin a task, use `warc_records_split`."""
+    walk continues — one bad record never fails the task, whether the
+    member inflates-but-misparses (WARC error) or doesn't inflate at
+    all (zlib error → resync at the next gzip magic). Record-set
+    equality with `warc_records_split` holds on corrupt archives too:
+    both paths emit the same canonical `zlib.error` row for an
+    undecodable region. When one hot archive would pin a task, use
+    `warc_records_split`."""
 
     def kernel(batches):
         import pandas as pd
@@ -239,7 +259,16 @@ def warc_records(
             for fname, blob in zip(b[name_col], b[blob_col]):
                 blob = bytes(blob)
                 for off, ln, raw in iter_warc_members(blob):
-                    rows.append(_record_row(fname, off, ln, raw))
+                    if raw is None:
+                        row = dict.fromkeys(_RECORDS_COLUMNS)
+                        row.update(
+                            filename=fname, member_offset=off,
+                            member_length=ln,
+                            parse_error=_ZLIB_ERROR_ROW,
+                        )
+                        rows.append(row)
+                    else:
+                        rows.append(_record_row(fname, off, ln, raw))
             yield pd.DataFrame(rows, columns=_RECORDS_COLUMNS)
 
     return files.mapInPandas(kernel, _RECORDS_SCHEMA)
@@ -340,12 +369,12 @@ def warc_records_split(
                                 "WARC member exceeds per-record budget"
                             )
                         row = _record_row(fname, off, ln, raw)
-                    except zlib.error as exc:
+                    except zlib.error:
                         row = dict.fromkeys(_RECORDS_COLUMNS)
                         row.update(
                             filename=fname, member_offset=off,
                             member_length=ln,
-                            parse_error=f"zlib.error: {exc}",
+                            parse_error=_ZLIB_ERROR_ROW,
                         )
                     row["split_id"] = int(split_id)
                     rows.append(row)
