@@ -58,6 +58,12 @@ HEADLINE = [
     "webdata_pipeline",         # WARC → lang/quality/dedup end-to-end
     "html_text_extract",        # WET strip, pure codegen regexp chain
     "adaptive_fetch_width",     # HLL+CMS width knobs (the engine's sketch job)
+    # round-7 additions
+    "embedding_ivfpq_query_only",  # IVFADC amortized half: the warm pass
+                                   # pays ivfpq_build(materialize=True)
+                                   # ONCE, the timed pass is the pure
+                                   # codes ⨝ LUT query scan — the 10:1
+                                   # train:query split on the record
 ]
 
 
@@ -195,10 +201,20 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    # Queries whose program MATERIALIZES intermediates at build time
+    # (webdata_pipeline's eager WET/LM checkpoints — the tables a
+    # production CCNet run writes between stages): re-build inside the
+    # timed window so the recorded cost covers archive bytes → final
+    # table, not just the lazy tail. (embedding_ivfpq_query_only is the
+    # deliberate opposite: its warm pass PAYS the index build so the
+    # timed pass records the amortized query scan.)
+    rebuild_timed = {"webdata_pipeline"}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan+code gen)
         t0 = time.perf_counter()
+        if name in rebuild_timed:
+            df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
