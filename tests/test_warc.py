@@ -100,20 +100,53 @@ def test_parse_error_isolated_per_row(spark):
     assert sum(r.http_status == 200 for r in rows if r.parse_error is None) >= 1
 
 
-def test_record_budget_guard():
-    """A small member inflating past the per-record budget raises inside
-    iter (the kernel maps it to parse_error-free task failure is NOT ok,
-    so warc_records wraps per file — here we check the guard exists)."""
-    from webcrawler_go_spark.sources import warc as W
+def test_record_budget_guard_is_row_not_task_failure(spark):
+    """Decompression-bomb guard: a member inflating past the per-record
+    budget becomes a parse_error ROW (the walk resyncs at the next gzip
+    magic; later members survive) from BOTH readers — never a raise
+    that would kill the task: at 10^5 archives per job one hostile
+    member must not fail the run."""
+    import pandas as pd
 
-    old = W._MAX_RECORD_BYTES
-    W._MAX_RECORD_BYTES = 64
-    try:
-        blob = make_warc_gz([make_warc_record("https://x.example.org/", "2024-01-01T00:00:00Z", b"A" * 1000)])
-        with pytest.raises(ValueError, match="budget"):
-            list(iter_warc_members(blob))
-    finally:
-        W._MAX_RECORD_BYTES = old
+    from webcrawler_go_spark.sources import warc as W
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    # a REAL over-budget member (65 MiB of 'A' inflated, ~70 KB
+    # compressed) — no monkeypatching, since the budget constant must
+    # hold inside the Python WORKERS, not just this driver process
+    bomb = make_warc_gz(
+        [make_warc_record(
+            "https://x.example.org/bomb", "2024-01-01T00:00:00Z",
+            b"A" * (W._MAX_RECORD_BYTES + 1024),
+        )]
+    )
+    blob = make_warc_gz(_recs(2)) + bomb + make_warc_gz(_recs(1))
+    members = list(iter_warc_members(blob))
+    assert [m[2] is None or isinstance(m[2], str) for m in members] \
+        == [False, False, True, False]
+    assert members[2][2] == W._BUDGET_ERROR_ROW
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["bomb.warc.gz"], "content": [blob]})
+    )
+    whole = warc_records(files)
+    rows = sorted(
+        (r.asDict() for r in whole.collect()),
+        key=lambda r: r["member_offset"],
+    )
+    assert len(rows) == 4
+    assert rows[2]["parse_error"] == W._BUDGET_ERROR_ROW
+    assert [r["parse_error"] is None for r in rows] == [True, True, False, True]
+    # split path emits the identical rows from the same sidecar
+    offsets = whole.select("filename", "member_offset", "member_length")
+    split_rows = sorted(
+        (r.asDict() for r in
+         warc_records_split(files, offsets, n_splits=2).collect()),
+        key=lambda r: r["member_offset"],
+    )
+    assert [
+        {k: v for k, v in r.items() if k != "split_id"} for r in split_rows
+    ] == rows
 
 
 def test_cdx_matches_python_reference(spark):

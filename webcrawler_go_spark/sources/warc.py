@@ -110,8 +110,12 @@ def iter_warc_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
     the next gzip magic — the record kernels turn markers into
     `parse_error` rows, so one corrupt member never silently drops the
     rest of the archive (and the file-per-task and split readers emit
-    the SAME rows on corrupt input). A truncated final member still
-    ends the walk silently, mirroring real-world truncated archives."""
+    the SAME rows on corrupt input). A member whose inflation exceeds
+    the per-record budget (decompression-bomb guard) yields the same
+    marker shape with ``_BUDGET_EXCEEDED`` as the third element — an
+    error ROW downstream, never a task failure. A truncated final
+    member still ends the walk silently, mirroring real-world
+    truncated archives."""
     pos = 0
     n = len(blob)
     while pos < n:
@@ -125,7 +129,15 @@ def iter_warc_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
             pos = end
             continue
         if len(raw) > _MAX_RECORD_BYTES:
-            raise ValueError("WARC member exceeds per-record budget")
+            # Decompression-bomb guard: inflation stopped at the budget
+            # cap, so the member's compressed extent is unknown — mark
+            # the region (parse_error row in the kernels) and resync at
+            # the next gzip magic, exactly like the zlib-error path.
+            nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+            end = nxt if nxt != -1 else n
+            yield pos, end - pos, _BUDGET_EXCEEDED  # the str marker
+            pos = end
+            continue
         if not d.eof:  # truncated member
             return
         consumed = (n - pos) - len(d.unused_data)
@@ -197,6 +209,17 @@ _RECORDS_SCHEMA = (
 # with where in the stream zlib gives up) so the file-per-task and
 # split readers stay row-identical on corrupt archives.
 _ZLIB_ERROR_ROW = "zlib.error: undecodable member"
+# Canonical row for a member tripping the decompression-bomb budget —
+# an ERROR ROW, never a task failure: at 10^5 archives per job one
+# hostile member must not kill the run. Sentinel distinguishes it from
+# the zlib marker in iter_warc_members' (offset, length, raw) stream.
+_BUDGET_ERROR_ROW = "ValueError: WARC member exceeds per-record budget"
+# The budget marker travels through iter_warc_members' raw slot as this
+# STRING (bytes = real member, None = zlib marker, str = budget marker):
+# a plain `object()` sentinel breaks identity across the cloudpickle
+# boundary — nested kernels capture module globals BY VALUE, so the
+# worker-side copy would never `is`-match the module's own sentinel.
+_BUDGET_EXCEEDED = _BUDGET_ERROR_ROW
 
 _RECORDS_COLUMNS = [
     "filename", "member_offset", "member_length", "record_id",
@@ -259,12 +282,14 @@ def warc_records(
             for fname, blob in zip(b[name_col], b[blob_col]):
                 blob = bytes(blob)
                 for off, ln, raw in iter_warc_members(blob):
-                    if raw is None:
+                    if raw is None or isinstance(raw, str):
                         row = dict.fromkeys(_RECORDS_COLUMNS)
                         row.update(
                             filename=fname, member_offset=off,
                             member_length=ln,
-                            parse_error=_ZLIB_ERROR_ROW,
+                            parse_error=(
+                                _ZLIB_ERROR_ROW if raw is None else raw
+                            ),
                         )
                         rows.append(row)
                     else:
@@ -365,16 +390,18 @@ def warc_records_split(
                             blob[off : off + ln], _MAX_RECORD_BYTES + 1
                         )
                         if len(raw) > _MAX_RECORD_BYTES:
-                            raise ValueError(
-                                "WARC member exceeds per-record budget"
-                            )
+                            raise ValueError(_BUDGET_ERROR_ROW)
                         row = _record_row(fname, off, ln, raw)
-                    except zlib.error:
+                    except (zlib.error, ValueError) as exc:
                         row = dict.fromkeys(_RECORDS_COLUMNS)
                         row.update(
                             filename=fname, member_offset=off,
                             member_length=ln,
-                            parse_error=_ZLIB_ERROR_ROW,
+                            parse_error=(
+                                _BUDGET_ERROR_ROW
+                                if isinstance(exc, ValueError)
+                                else _ZLIB_ERROR_ROW
+                            ),
                         )
                     row["split_id"] = int(split_id)
                     rows.append(row)
