@@ -289,3 +289,33 @@ def test_adaptive_budget_parity_and_laws(spark, state_dir):
         assert eng_bud[host] == b, host
     # the world actually exercises BOTH arms
     assert n_halved > 0 and n_grew > 0
+
+
+def test_adaptive_budget_resumability(spark, state_dir):
+    """S9 × AIMD: an adaptive crawl interrupted after 2 of 4 rounds and
+    resumed by a FRESH engine restores the persisted health ledger and
+    holds the SAME budgets — seen set, per-host sequences, and the
+    final budget dim all equal the uninterrupted sequential oracle's."""
+    world = World(n_hosts=8, pages_per_host=40)
+    cfg = CrawlConfig(max_rounds=4, default_host_budget=10)
+    kw = dict(adaptive_budget=True, aimd_hot_milli=100)
+    eng1 = CrawlEngine(spark, cfg, state_dir, world=world, **kw)
+    eng1.seed(_seeds_df(spark))
+    eng1.resume(start_round=0, max_rounds=2)
+
+    eng2 = CrawlEngine(spark, cfg, state_dir, world=world, **kw)
+    eng2.resume(max_rounds=4)
+
+    oracle = sequential.crawl(
+        world, gen_seeds(world, N_SEEDS), cfg, max_rounds=4,
+        adaptive_budget=True, aimd_hot_milli=100,
+    )
+    assert {r.url_norm for r in eng2.url_seen().collect()} == oracle.seen
+    seqs = {
+        r["host"]: r["fetch_sequence"] for r in eng2.per_host_sequences().collect()
+    }
+    assert seqs == oracle.sequences
+    eng_bud = {
+        r["host"]: r["max_fetches_per_round"] for r in eng2.budgets.collect()
+    }
+    assert eng_bud == oracle.budgets

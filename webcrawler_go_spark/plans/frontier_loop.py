@@ -49,6 +49,7 @@ from webcrawler_go_spark.schemas import (
     DOCUMENTS,
     FETCH_LOG,
     FRONTIER,
+    HOST_HEALTH,
     URL_SEEN,
 )
 from webcrawler_go_spark.state import SnapshotTable
@@ -149,6 +150,17 @@ class CrawlEngine:
         self.aimd_hot_milli = aimd_hot_milli
         self.aimd_window = aimd_window
         self._host_health: DataFrame | None = None
+        # The health ledger is ALSO a snapshot table so S9 resumability
+        # covers AIMD: a fresh engine resuming mid-crawl restores the
+        # window of per-host counters and recomputes the same budget dim
+        # an uninterrupted run would hold (parity-tested). Only created
+        # for adaptive engines — the state dir of a plain crawl is
+        # byte-identical to previous rounds'.
+        self.health_t: SnapshotTable | None = None
+        if self.adaptive_budget:
+            self.health_t = SnapshotTable(
+                state_dir, "host_health", HOST_HEALTH
+            ).init(spark)
         self.profile = False  # per-phase wall timing to stderr (debug)
         self.stats: list[RoundStats] = []
 
@@ -546,6 +558,11 @@ class CrawlEngine:
             ).alias("errors"),
             F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
         ).withColumn("round", F.lit(r))
+        hc = hc.select(*[f.name for f in HOST_HEALTH.fields])
+        # persist the round's counters so a resumed engine restores the
+        # same budget recurrence (S9 × AIMD); the table is (hosts ×
+        # rounds) rows — metadata scale next to the fetch log
+        self.health_t.commit(hc, lineage={"round": r, "op": "health+="})
         lo = max(0, r + 1 - self.aimd_window)
         health = hc if self._host_health is None else (
             self._host_health.unionByName(hc)
@@ -561,6 +578,39 @@ class CrawlEngine:
         bud = aimd_budgets(
             health.withColumn("round", F.col("round") - lo),
             n_rounds=r + 1 - lo,
+            base_budget=self.config.default_host_budget,
+            max_budget=self.aimd_max_budget,
+            hot_milli=self.aimd_hot_milli,
+        )
+        self.budgets = bud.select(
+            "host",
+            F.col("budget").cast("int").alias("max_fetches_per_round"),
+            F.lit(None).cast("int").alias("crawl_delay_ms"),
+        )
+
+    def _aimd_restore(self, next_round: int) -> None:
+        """Rebuild the AIMD ledger + budget dim from the persisted
+        health table before resuming at ``next_round`` — so an
+        interrupted adaptive crawl holds the SAME budgets an
+        uninterrupted one would (parity-tested). `.distinct()` absorbs
+        the one duplicate round a crash between the health commit and
+        the frontier commit can leave (counters are deterministic, so
+        re-run rows are byte-identical)."""
+        from webcrawler_go_spark.operators.scheduling import aimd_budgets
+
+        lo = max(0, next_round - self.aimd_window)
+        health = (
+            self.health_t.read()
+            .filter((F.col("round") >= lo) & (F.col("round") < next_round))
+            .distinct()
+        )
+        if not health.limit(1).count():
+            return
+        health = health.localCheckpoint(eager=True)
+        self._host_health = health
+        bud = aimd_budgets(
+            health.withColumn("round", F.col("round") - lo),
+            n_rounds=next_round - lo,
             base_budget=self.config.default_host_budget,
             max_budget=self.aimd_max_budget,
             hot_milli=self.aimd_hot_milli,
@@ -651,6 +701,8 @@ class CrawlEngine:
         if start_round is None:
             head = self.frontier_t.current_snapshot()
             start_round = head["lineage"].get("round", 0) if head else 0
+        if self.adaptive_budget:
+            self._aimd_restore(start_round)
         out = []
         for r in range(start_round, max_rounds):
             head = self.frontier_t.current_snapshot()

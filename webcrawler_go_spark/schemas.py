@@ -68,6 +68,16 @@ URL_SEEN = StructType(
     ]
 )
 
+HOST_HEALTH = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("round", IntegerType(), False),
+        StructField("fetched", LongType(), False),
+        StructField("errors", LongType(), False),
+        StructField("blocked", LongType(), False),
+    ]
+)
+
 SEEDS = StructType(
     [
         StructField("url", StringType(), False),
