@@ -149,6 +149,59 @@ def test_record_budget_guard_is_row_not_task_failure(spark):
     ] == rows
 
 
+def test_incompressible_bomb_true_extent_and_reader_equality(spark):
+    """Round-7 review finding (confirmed by execution): an INCOMPRESSIBLE
+    over-budget member's compressed bytes contain false gzip magics, so
+    a magic-scan resync recorded a wrong member_length — and the split
+    reader then inflated the truncated slice without error, ingesting
+    the bomb as a clean record. The guard now DRAINS the inflater to the
+    member's true extent: exactly one budget row, offsets tile the
+    archive exactly, and both readers emit identical rows."""
+    import random
+
+    import pandas as pd
+
+    from webcrawler_go_spark.sources import warc as W
+    from webcrawler_go_spark.sources.warc import warc_records, warc_records_split
+
+    payload = random.Random(0).randbytes(W._MAX_RECORD_BYTES + 1024)
+    bomb = make_warc_gz(
+        [make_warc_record(
+            "https://x.example.org/bomb", "2024-01-01T00:00:00Z", payload
+        )]
+    )
+    assert b"\x1f\x8b\x08" in bomb[3:], "fixture must contain a false magic"
+    good2 = make_warc_gz(_recs(2))
+    tail = make_warc_gz(_recs(1))
+    blob = good2 + bomb + tail
+
+    members = list(iter_warc_members(blob))
+    assert len(members) == 4, "no phantom rows from false magics"
+    assert members[2] == (len(good2), len(bomb), W._BUDGET_ERROR_ROW)
+    assert members[3][0] == len(good2) + len(bomb)
+    # members tile the archive exactly
+    assert members[3][0] + members[3][1] == len(blob)
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"filename": ["rbomb.warc.gz"], "content": [blob]})
+    )
+    whole = warc_records(files)
+    rows = sorted(
+        (r.asDict() for r in whole.collect()), key=lambda r: r["member_offset"]
+    )
+    assert [r["parse_error"] for r in rows].count(W._BUDGET_ERROR_ROW) == 1
+    assert [r["parse_error"] is None for r in rows] == [True, True, False, True]
+    offsets = whole.select("filename", "member_offset", "member_length")
+    split_rows = sorted(
+        (r.asDict() for r in
+         warc_records_split(files, offsets, n_splits=2).collect()),
+        key=lambda r: r["member_offset"],
+    )
+    assert [
+        {k: v for k, v in r.items() if k != "split_id"} for r in split_rows
+    ] == rows
+
+
 def test_cdx_matches_python_reference(spark):
     """cdx_index's codegen SURT/digest/timestamp vs an independent
     Python derivation."""

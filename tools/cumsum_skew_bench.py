@@ -60,7 +60,7 @@ def main() -> None:
         (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(2000)) + 1).alias("n_tokens"),
     ).localCheckpoint(eager=True)   # pin the input outside both timings
 
-    def timed(label, df):
+    def timed(df):
         df.write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -75,8 +75,8 @@ def main() -> None:
         out_col="cum", n_parts=cpus,
     )
 
-    t_naive = timed("naive", naive)
-    t_two = timed("two_phase", two_phase)
+    t_naive = timed(naive)
+    t_two = timed(two_phase)
 
     # correctness spot-check: the two shapes agree on a deterministic
     # row sample (full equality is the pytest law at small scale)

@@ -247,6 +247,10 @@ def hits_fixed_point(
     pagerank/connected-components shape; lineage truncated per step.
 
     Returns (node, auth_scaled, hub_scaled)."""
+    if iterations < 1:
+        # checked BEFORE the node-set jobs below — a bad arg must not
+        # first pay two full passes over the link graph
+        raise ValueError("hits_fixed_point needs iterations >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -255,8 +259,6 @@ def hits_fixed_point(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    if iterations < 1:
-        raise ValueError("hits_fixed_point needs iterations >= 1")
     if n == 0:
         raise ValueError("hits_fixed_point: empty edge set (no nodes)")
     if scale // n == 0:

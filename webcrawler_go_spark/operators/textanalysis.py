@@ -523,6 +523,7 @@ def token_budget_fill(
     order_col: str = "priority",
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Fill a per-source TOKEN budget in priority order — the budgeted
     counterpart to `mixture_resample`'s rate damping. Mixture specs for
@@ -543,11 +544,18 @@ def token_budget_fill(
     Returns the kept rows with their inclusive `cum_tokens`."""
     from webcrawler_go_spark.operators.rank import grouped_cumsum
 
+    if n_parts is None:
+        # scale the hot-source spread with the cluster, not a constant:
+        # a fixed 32 re-creates a milder straggler on wide clusters
+        n_parts = max(
+            32, docs.sparkSession.sparkContext.defaultParallelism or 32
+        )
     c = grouped_cumsum(
         docs,
         [source_col],
         [order_col, id_col],
         token_col,
         out_col="cum_tokens",
+        n_parts=n_parts,
     )
     return c.filter(F.col("cum_tokens") <= budget_tokens)

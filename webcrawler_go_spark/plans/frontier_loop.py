@@ -559,15 +559,22 @@ class CrawlEngine:
             F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
         ).withColumn("round", F.lit(r))
         hc = hc.select(*[f.name for f in HOST_HEALTH.fields])
-        # persist the round's counters so a resumed engine restores the
-        # same budget recurrence (S9 × AIMD); the table is (hosts ×
-        # rounds) rows — metadata scale next to the fetch log
-        self.health_t.commit(hc, lineage={"round": r, "op": "health+="})
         lo = max(0, r + 1 - self.aimd_window)
         health = hc if self._host_health is None else (
             self._host_health.unionByName(hc)
         )
+        # ONE aggregation run: the window ledger is checkpointed first
+        # and the persistence commit reads round r's rows back out of
+        # the checkpoint (committing hc directly would re-run the
+        # groupBy over fetched a second time), coalesced to one file —
+        # the table is (hosts × rounds) rows, metadata scale next to
+        # the fetch log. Persisting closes S9 × AIMD: a resumed engine
+        # restores the same budget recurrence.
         health = health.filter(F.col("round") >= lo).localCheckpoint(eager=True)
+        self.health_t.commit(
+            health.filter(F.col("round") == r).coalesce(1),
+            lineage={"round": r, "op": "health+="},
+        )
         from webcrawler_go_spark.operators.components import (
             _unpersist_local_checkpoint,
         )
@@ -607,6 +614,14 @@ class CrawlEngine:
         if not health.limit(1).count():
             return
         health = health.localCheckpoint(eager=True)
+        from webcrawler_go_spark.operators.components import (
+            _unpersist_local_checkpoint,
+        )
+
+        if self._host_health is not None:
+            # an engine that already ran rounds in-process and is asked
+            # to resume again: free the prior ledger's cached blocks
+            _unpersist_local_checkpoint(self._host_health)
         self._host_health = health
         bud = aimd_budgets(
             health.withColumn("round", F.col("round") - lo),

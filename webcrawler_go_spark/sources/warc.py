@@ -129,14 +129,32 @@ def iter_warc_members(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
             pos = end
             continue
         if len(raw) > _MAX_RECORD_BYTES:
-            # Decompression-bomb guard: inflation stopped at the budget
-            # cap, so the member's compressed extent is unknown — mark
-            # the region (parse_error row in the kernels) and resync at
-            # the next gzip magic, exactly like the zlib-error path.
-            nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
-            end = nxt if nxt != -1 else n
-            yield pos, end - pos, _BUDGET_EXCEEDED  # the str marker
-            pos = end
+            # Decompression-bomb guard. Find the member's TRUE extent by
+            # DRAINING the inflater in bounded chunks (output discarded)
+            # instead of scanning for the next gzip magic: a multi-MB
+            # hostile member's compressed bytes near-certainly contain a
+            # false \x1f\x8b\x08, and a magic-scan marker would record a
+            # wrong member_length — the split reader then inflates the
+            # truncated slice WITHOUT error and ingests the bomb as a
+            # clean record (round-7 review finding, test-reproduced with
+            # an incompressible bomb). Draining costs CPU bounded by the
+            # attacker's own compressed bytes and ≤1 MiB memory.
+            try:
+                while not d.eof and d.unconsumed_tail:
+                    d.decompress(d.unconsumed_tail, 1 << 20)
+            except zlib.error:
+                nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
+                end = nxt if nxt != -1 else n
+                yield pos, end - pos, None
+                pos = end
+                continue
+            if not d.eof:  # truncated over-budget tail ends the walk
+                return
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                return
+            yield pos, consumed, _BUDGET_EXCEEDED  # the str marker
+            pos += consumed
             continue
         if not d.eof:  # truncated member
             return
@@ -391,6 +409,11 @@ def warc_records_split(
                         )
                         if len(raw) > _MAX_RECORD_BYTES:
                             raise ValueError(_BUDGET_ERROR_ROW)
+                        if not d.eof:
+                            # slice didn't contain a complete member
+                            # (wrong/foreign sidecar offsets): corrupt
+                            # row, never a silently-truncated payload
+                            raise zlib.error("incomplete member slice")
                         row = _record_row(fname, off, ln, raw)
                     except (zlib.error, ValueError) as exc:
                         row = dict.fromkeys(_RECORDS_COLUMNS)
