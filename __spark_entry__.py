@@ -57,6 +57,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin repartition a scan-rooted frame to cluster width WHEN
+    its natural split count is deficient (guide §2.5: an unsplittable
+    input bounds every downstream map stage; the driver's single-file
+    tables hold 1-6 parquet row groups, so scan-side compute ran ≤6-way
+    on 32 cores). No-op whenever the input is already well-split — see
+    operators/partitioning.py for the full rationale."""
+    from webcrawler_go_spark.operators.partitioning import spread_to_cluster
+
+    return spread_to_cluster(df, mult)
+
+
 # ---------------------------------------------------------------------------
 # URL corpus: raw (messy) URLs derived from orders — exercises C1 edge rules
 # (missing scheme, uppercase scheme/host, empty path, query, fragment).
@@ -64,7 +76,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # spread the 2-row-group orders scan BEFORE the string synthesis +
+    # regex canonicalization that every corpus consumer pays — the
+    # shuffle moves two long columns (~24 MB at sf1.0), the unlocked
+    # compute parallelism is 2-way → cluster-wide
+    o = _spread(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
     k = F.col("o_orderkey")
     host = F.concat(
         F.lit("host-"),
@@ -192,18 +208,34 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_visited_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: candidates (lineitem-derived, with natural dups) anti-joined
-    against the seen set (orders where k%3=0) → distinct new URLs."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k")
-    )
-    cand = li.join(canon_corpus(spark, sf_dir), "k").select("url_norm")
-    seen = canon_corpus(spark, sf_dir).filter(F.col("k") % 3 == 0).select(
-        F.col("url_norm").alias("seen_norm")
-    )
-    return (
-        cand.join(seen, cand["url_norm"] == seen["seen_norm"], "left_anti")
-        .select("url_norm")
+    against the seen set (orders where k%3=0) → distinct new URLs.
+
+    r8 physical rewrite (result-identical, oracle unchanged): the naive
+    shape ran the regex canonicalization TWICE (candidate + seen
+    branches), broadcast the 1.5M-row canon table (~180 MB hash
+    relation), and shuffled the 6M-row join output into a distinct.
+    Both branches are projections of ONE canon pass, so compute it once
+    and fold the anti-join + distinct into a single url_norm aggregate:
+    a url_norm is in the answer iff some k ∈ lineitem maps to it and no
+    k ≡ 0 (mod 3) maps to it. Exchanges: lineitem key distinct (longs,
+    map-side partial agg) + one 1.5M-row url_norm aggregate; the only
+    join left broadcasts the distinct key set (~12 MB of longs)."""
+    li_k = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
         .distinct()
+        .withColumn("_in_li", F.lit(1))
+    )
+    c = canon_corpus(spark, sf_dir).select("k", "url_norm")
+    return (
+        c.join(F.broadcast(li_k), "k", "left")
+        .groupBy("url_norm")
+        .agg(
+            F.max(F.when(F.col("k") % 3 == 0, 1).otherwise(0)).alias("_seen"),
+            F.max(F.coalesce(F.col("_in_li"), F.lit(0))).alias("_cand"),
+        )
+        .filter((F.col("_seen") == 0) & (F.col("_cand") == 1))
+        .select("url_norm")
     )
 
 
@@ -259,14 +291,34 @@ def q_per_host_fetch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_politeness_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: per-host budget top-k. Budget dim derived from the host id
-    (10 + host_id % 11) — broadcast-joined; keep rank ≤ budget."""
-    ranked = q_per_host_fetch_order(spark, sf_dir)
+    (10 + host_id % 11) — keep rank ≤ budget.
+
+    r8 physical rewrite (result-identical): ranking ALL ~150k rows per
+    host through Window.partitionBy(host) funnels each host into one
+    task (41 tasks at sf1.0 — the politeness.py skew note as a measured
+    fact, 15-23 s). Only ranks ≤ budget ≤ 20 survive, so prune first
+    with a salted local rank: local rank within (host, salt) is ≤ the
+    host-global rank, hence every row with global rank ≤ budget
+    survives the local filter, and because ALL its predecessors survive
+    too, the exact window re-ranked over survivors assigns it the SAME
+    rank — while any row with true rank > budget keeps ≥ budget+1
+    survivors ahead of it and still filters out. The exact per-host
+    window then sorts ≤ 64·budget rows per host instead of the corpus."""
+    fr = _frontier(spark, sf_dir)
     budget = (
-        F.lit(10)
-        + F.substring(F.col("host"), 6, 4).cast("int") % 11
+        F.lit(10) + F.substring(F.col("host"), 6, 4).cast("int") % 11
+    ).cast("int")
+    order_cols = ["round", "parent_seq", "link_pos", "url_norm"]
+    fr = fr.withColumn("_salt", F.pmod(F.xxhash64("url_norm"), F.lit(64))).withColumn(
+        "budget", budget
     )
+    w_local = Window.partitionBy("host", "_salt").orderBy(*order_cols)
+    pruned = fr.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= F.col("budget")
+    )
+    w = Window.partitionBy("host").orderBy(*order_cols)
     return (
-        ranked.withColumn("budget", budget.cast("int"))
+        pruned.withColumn("host_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("host_rank") <= F.col("budget"))
         .groupBy("host")
         .agg(
@@ -1397,7 +1449,7 @@ def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted copies (doc_id+100000 where doc_id%7=0) — the
     testdata has no natural duplicates, so dedup queries synthesize them
     identically in both engines."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -1568,7 +1620,9 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails."""
     import pandas as pd
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = _spread(
+        _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    )
 
     def kernel(batches):
         from webcrawler_go_spark.functions.media_codecs import (
@@ -2176,7 +2230,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     array ops. New in round 3."""
     from webcrawler_go_spark.operators.textanalysis import repetition_features
 
-    return repetition_features(_t(spark, sf_dir, "documents"))
+    return repetition_features(_spread(_t(spark, sf_dir, "documents")))
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2583,7 +2637,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -3143,8 +3197,10 @@ def q_pdf_filters_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — and extract through the stdlib decoders. The oracle states
     the contract: the original text back for every supported chain,
     EMPTY (never wrong) for encrypted."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, 160).alias("t")
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.substring("text", 1, 160).alias("t")
+        )
     )
 
     def kernel(batches):
@@ -4053,7 +4109,7 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at scan rate."""
     from webcrawler_go_spark.functions.html_text import html_to_text
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ks = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), ks,

@@ -56,20 +56,24 @@ def next_frontier_candidates(
     """Links → next-round frontier rows (J2 input).
 
     Filters in reference order: crawlable href (F3/F11) → pre-
-    canonicalization collapse → canonicalize (C1) → same-host (F1,
-    crawler.go:984-987) → extension skip (F4, sitemap mode only) → path
-    prefix (F2). Exact cross-form dedup (J1) happens later at the seen
-    anti-join.
+    canonicalization collapse → canonicalize (C1, staged 3-regex form)
+    → same-host (F1, crawler.go:984-987) → extension skip (F4, sitemap
+    mode only) → path prefix (F2). Exact cross-form dedup (J1) happens
+    later at the seen anti-join.
 
     The COLLAPSE groups on the RAW (href, parent_host) pair keeping the
     minimum crawl-order key: a page is typically linked from ~30 parents
     per round, and partial (map-side) aggregation shrinks the exploded
-    link stream by that factor BEFORE the shuffle — and, more
-    importantly at 100 TB, before the regex-heavy canonicalization runs
-    (1 canonicalize per distinct raw link instead of per link
-    occurrence). min over the packed key struct is associative, so the
-    later first_discovery over url_norm still resolves to the same
-    global winner when distinct raw forms canonicalize together.
+    link stream by that factor BEFORE the shuffle — and before the
+    canonicalization runs (1 canonicalize per distinct raw link instead
+    of per link occurrence; the r8 attempt to fuse this collapse with
+    the downstream first_discovery into one url_norm-keyed min(struct)
+    aggregate measured ~2× SLOWER end to end — the wide argmin struct
+    forces a sort-based partial aggregate over the un-collapsed link
+    stream, costlier than the second narrow exchange it removes). min
+    over the packed key struct is associative, so the later
+    first_discovery over url_norm still resolves to the same global
+    winner when distinct raw forms canonicalize together.
 
     same_host semantics: keep links whose host equals the *discovering
     page's* host (the reference compares against the crawl base host; in
@@ -78,31 +82,54 @@ def next_frontier_candidates(
     The parent host is the carried fetch-row column — already canonical,
     no re-parse of found_on.
     """
+    from webcrawler_go_spark.functions.urls import canonicalize_append
+
     links = outlinks_with_provenance(fetched).filter(
         is_crawlable_href(F.col("href"))
     )
+    # crawl-order key packed into ONE bigint so the collapse runs as a
+    # HashAggregate: min(struct(...)) plans as SortAggregate, which
+    # SORTS the whole exploded link stream by href on both sides of the
+    # exchange (measured the dominant cost of the per-round dedup at
+    # 20M links). Packing is order-preserving because the engine's seq
+    # invariant makes (parent_round, parent_seq, link_pos) ≡
+    # (parent_seq, link_pos): schedule_round assigns parent_seq =
+    # (round << 32) | host_rank, so parent_seq order already implies
+    # parent_round order, and link_pos fits 16 bits (checked row-wise —
+    # assert_true turns a violated packing assumption into a loud task
+    # failure, never a silently re-ordered crawl).
+    pack_ok = (
+        (F.col("link_pos") >= 0)
+        & (F.col("link_pos") < F.lit(1 << 16))
+        & (F.col("parent_seq") >= 0)
+        & (F.col("parent_seq") < F.lit(1 << 46))
+        & (
+            F.shiftright(F.col("parent_seq"), 32).cast("int")
+            == F.col("parent_round")
+        )
+    )
+    packed = (
+        F.col("parent_seq") * F.lit(1 << 16).cast("long") + F.col("link_pos")
+    ) + F.coalesce(
+        F.assert_true(
+            pack_ok, F.lit("crawl-order key outside packable range")
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     links = (
         links.groupBy("href", "parent_host")
-        .agg(
-            F.min(
-                F.struct("parent_round", "parent_seq", "link_pos")
-            ).alias("_k")
-        )
+        .agg(F.min(packed).alias("_pk"))
         .select(
             "href",
             "parent_host",
-            F.col("_k.parent_round").alias("parent_round"),
-            F.col("_k.parent_seq").alias("parent_seq"),
-            F.col("_k.link_pos").alias("link_pos"),
+            F.shiftright(F.col("_pk"), 48).cast("int").alias("parent_round"),
+            F.shiftright(F.col("_pk"), 16).alias("parent_seq"),
+            F.col("_pk").bitwiseAND(F.lit((1 << 16) - 1)).cast("int").alias(
+                "link_pos"
+            ),
         )
     )
-    parts = canonicalize_cols(F.col("href"), ignore_query=ignore_query)
-    links = links.select(
-        "*",
-        parts["url_norm"].alias("url_norm"),
-        parts["host"].alias("host"),
-        parts["path"].alias("path"),
-    )
+    links = canonicalize_append(links, "href", ignore_query=ignore_query)
     if same_host_only:
         if seed_host is not None:
             links = links.filter(F.col("host") == F.lit(seed_host.lower()))

@@ -57,11 +57,17 @@ def global_row_number(
         running += counts[pid]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "`_pid` int, `_off` long")
-    return (
+    out = (
         d.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+    # the per-partition counts give the EXACT ranked row count for free;
+    # expose it so callers can make size-aware physical choices (e.g.
+    # broadcast a small ranked vocabulary instead of shuffling the
+    # token stream against it) without running a count job
+    out._graft_total_rows = running
+    return out
 
 
 def global_cumsum(

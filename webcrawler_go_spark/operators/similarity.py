@@ -601,10 +601,16 @@ def signature_rows_quantized(
     behavior of the aggregate form."""
     import pandas as pd
 
+    from webcrawler_go_spark.operators.partitioning import spread_to_cluster
+
     n_planes = n_tables * bits_per_table
     B, K = n_tables, bits_per_table
-    base = emb.select(
-        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q")
+    # an under-split embeddings scan (single parquet file locally) would
+    # run the whole signature GEMM 1-way; identity when already spread
+    base = spread_to_cluster(
+        emb.select(
+            F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("q")
+        )
     )
 
     def kernel(batches):

@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 
 # minhash parameters — (a*id + b) mod P, P prime > any vocab id
 MINHASH_P = 1_000_000_007
+
+# a ranked vocabulary below this many rows is broadcast to the token
+# stream instead of shuffling the (much larger) stream against it;
+# ~2M short shingles ≈ 80 MB framed — comfortably inside executor
+# memory, while a 100 TB corpus' billion-row vocabulary falls back to
+# the shuffle join automatically (the exact count is free: the ranking
+# pass already collected per-partition counts)
+_VOCAB_BROADCAST_ROWS = 2_000_000
+
+
+def _maybe_broadcast(vocab: DataFrame) -> DataFrame:
+    n = getattr(vocab, "_graft_total_rows", None)
+    if n is not None and n <= _VOCAB_BROADCAST_ROWS:
+        return F.broadcast(vocab)
+    return vocab
 MINHASH_COEFFS = [
     (2971215073, 433494437),
     (2654435761, 2246822519),
@@ -155,7 +170,7 @@ def minhash_signatures(
     vocab = global_row_number(
         sh.select("shingle").distinct(), ["shingle"], out_col="sid"
     )
-    ids = sh.join(vocab, "shingle").select("doc_id", "sid")
+    ids = sh.join(_maybe_broadcast(vocab), "shingle").select("doc_id", "sid")
     aggs = [
         F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -214,7 +229,7 @@ def simhash(
     vocab = global_row_number(
         sh.select("shingle").distinct(), ["shingle"], out_col="token_id"
     )
-    ids = sh.join(vocab, "shingle").select("doc_id", "token_id")
+    ids = sh.join(_maybe_broadcast(vocab), "shingle").select("doc_id", "token_id")
     bit_exprs = []
     for k in range(bits):
         a = 2 * k + 3

@@ -386,14 +386,15 @@ class CrawlEngine:
         # the frontier commit: raw extraction yields ~links-per-page × the
         # round size (measured ~30× the surviving rows), and next round's
         # first pass would collapse it anyway — dedup-before-write moves
-        # the same two shuffles ahead of the parquet write instead of
-        # after the parquet read, shrinking the biggest per-round write
-        # (and, at 10^10 URLs, the frontier table) by that factor.
+        # the shuffle ahead of the parquet write instead of after the
+        # parquet read, shrinking the biggest per-round write (and, at
+        # 10^10 URLs, the frontier table) by that factor.
         # first_discovery keeps the min crawl-order key per URL, so the
         # next round's in-round dedup against deferred/requeued/overflow
         # rows (which skip this path) still resolves to the same winner.
+        candidates = first_discovery(candidates)
         candidates = dedup_against_seen(
-            first_discovery(candidates),
+            candidates,
             seen.unionByName(seen_delta),
             use_bloom=seen_estimate > self.bloom_threshold,
             seen_count=seen_estimate,
