@@ -252,17 +252,29 @@ def q_frontier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frontier(spark, sf_dir):
-    """Frontier rows with crawl-order keys derived from lineitem."""
+def _frontier(spark, sf_dir, cluster_by: tuple = ()):
+    """Frontier rows with crawl-order keys derived from lineitem.
+
+    ``cluster_by``: optional subset of the output columns to hash-
+    repartition on BEFORE the distinct. HashPartitioning on a subset of
+    the distinct keys satisfies the aggregate's clustering requirement,
+    so the distinct reuses the exchange — and so does any downstream
+    window partitioned by the same columns: one exchange instead of
+    two/three (guide §2.4 "two operations keyed the same way can share
+    one exchange")."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"),
         (F.col("l_orderkey") % 4).cast("int").alias("round"),
         (F.col("l_suppkey") % 50).cast("long").alias("parent_seq"),
         F.col("l_linenumber").cast("int").alias("link_pos"),
     )
-    return li.join(canon_corpus(spark, sf_dir), "k").select(
+    fr = li.join(canon_corpus(spark, sf_dir), "k").select(
         "url_norm", "host", "round", "parent_seq", "link_pos"
-    ).distinct()
+    )
+    if cluster_by:
+        n = spark.sparkContext.defaultParallelism * 2
+        fr = fr.repartition(n, *[F.col(c) for c in cluster_by])
+    return fr.distinct()
 
 
 _FRONTIER_SQL = (
@@ -282,7 +294,10 @@ def q_per_host_fetch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: deterministic per-host fetch order — row_number over
     (round, parent_seq, link_pos, url_norm)."""
     w = Window.partitionBy("host").orderBy("round", "parent_seq", "link_pos", "url_norm")
-    return _frontier(spark, sf_dir).select(
+    # cluster_by=host: the distinct AND the rank window ride ONE host
+    # exchange (full-ranked output ⇒ no prune applies; see the
+    # politeness query for the pruned variant)
+    return _frontier(spark, sf_dir, cluster_by=("host",)).select(
         "host",
         "url_norm",
         F.row_number().over(w).cast("int").alias("host_rank"),
@@ -304,14 +319,27 @@ def q_politeness_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — while any row with true rank > budget keeps ≥ budget+1
     survivors ahead of it and still filters out. The exact per-host
     window then sorts ≤ 64·budget rows per host instead of the corpus."""
-    fr = _frontier(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_orderkey") % 4).cast("int").alias("round"),
+        (F.col("l_suppkey") % 50).cast("long").alias("parent_seq"),
+        F.col("l_linenumber").cast("int").alias("link_pos"),
+    )
+    raw = li.join(canon_corpus(spark, sf_dir), "k").select(
+        "url_norm", "host", "round", "parent_seq", "link_pos",
+        F.pmod(F.xxhash64("url_norm"), F.lit(64)).alias("_salt"),
+    )
+    # _salt is a function of url_norm, so distinct over the widened
+    # column set equals _frontier's distinct — and carrying it INTO the
+    # distinct lets the (host, _salt) repartition serve the distinct
+    # AND the local-rank window with a single exchange (guide §2.4)
+    n = spark.sparkContext.defaultParallelism * 2
+    fr = raw.repartition(n, F.col("host"), F.col("_salt")).distinct()
     budget = (
         F.lit(10) + F.substring(F.col("host"), 6, 4).cast("int") % 11
     ).cast("int")
     order_cols = ["round", "parent_seq", "link_pos", "url_norm"]
-    fr = fr.withColumn("_salt", F.pmod(F.xxhash64("url_norm"), F.lit(64))).withColumn(
-        "budget", budget
-    )
+    fr = fr.withColumn("budget", budget)
     w_local = Window.partitionBy("host", "_salt").orderBy(*order_cols)
     pruned = fr.withColumn("_lr", F.row_number().over(w_local)).filter(
         F.col("_lr") <= F.col("budget")
@@ -716,7 +744,7 @@ def q_filename_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_headline_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: headline+datecode → filename (jsonfeed.go:305-343)."""
-    c = _t(spark, sf_dir, "customer")
+    c = _spread(_t(spark, sf_dir, "customer"))
     headline = F.concat(
         F.lit("Breaking: "), F.col("c_name"), F.lit(" wins (again)!")
     )
@@ -1566,7 +1594,7 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic result (specific group REPLACES '*' where present)."""
     from webcrawler_go_spark.functions.robots import parse_robots_txt
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = _spread(_t(spark, sf_dir, "customer")).select(F.col("c_custkey").alias("k"))
     ks = F.col("k").cast("string")
     host = F.concat(F.lit("h"), ks, F.lit(".test"))
     star_grp = F.concat(
@@ -1606,7 +1634,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    blobs = media_blobs_from_documents(_t(spark, sf_dir, "documents"))
+    blobs = media_blobs_from_documents(_spread(_t(spark, sf_dir, "documents")))
     return sample_frames(blobs, every=10, max_frames=8, use_fake_decoder=True)
 
 
@@ -1657,7 +1685,7 @@ def q_media_cmyk_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel + CMYK formulas in SQL."""
     import pandas as pd
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = _spread(_t(spark, sf_dir, "customer")).select(F.col("c_custkey").alias("k"))
 
     def kernel(batches):
         from webcrawler_go_spark.functions.media_codecs import (
@@ -1824,7 +1852,7 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the sample formula in SQL."""
     import pandas as pd
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = _spread(_t(spark, sf_dir, "customer")).select(F.col("c_custkey").alias("k"))
 
     def kernel(batches):
         from webcrawler_go_spark.functions.media_codecs import (
@@ -2240,7 +2268,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 3."""
     from webcrawler_go_spark.operators.textanalysis import pii_scrub
 
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    c = _spread(_t(spark, sf_dir, "customer")).select(F.col("c_custkey").alias("k"))
     ks = F.col("k").cast("string")
     text = F.concat(
         F.lit("reach user"), ks, F.lit("@example"), (F.col("k") % 7).cast("string"),
@@ -2367,7 +2395,7 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training hygiene pass at 100 TB (eval suites are small)."""
     from webcrawler_go_spark.operators.textanalysis import ngram_contamination
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     bench = d.filter(F.col("doc_id") % 20 == 0)
     return ngram_contamination(corpus, bench, n=4)
@@ -2379,7 +2407,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     content the within-doc repetition signals cannot see)."""
     from webcrawler_go_spark.operators.textanalysis import boilerplate_ngram_stats
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     return boilerplate_ngram_stats(d, n=3, df_threshold=5)
 
 
@@ -2458,7 +2486,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor) so ranking is bit-deterministic across engines."""
     from webcrawler_go_spark.operators.textanalysis import tfidf_top_terms
 
-    return tfidf_top_terms(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return tfidf_top_terms(_spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"))
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,7 +2659,7 @@ def q_streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import quality_features
 
-    return quality_features(_t(spark, sf_dir, "documents"))
+    return quality_features(_spread(_t(spark, sf_dir, "documents")))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,7 +2675,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count_ws(F.col("text")).alias("n_tokens_ws"),
@@ -2994,7 +3022,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars stripped, whitespace collapsed, trimmed) — pure Catalyst."""
     from webcrawler_go_spark.operators.textanalysis import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         normalize_text(
@@ -3124,7 +3152,7 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kernel, extract with the pure-Python content-stream walker, emit
     the extracted text. The oracle states what extraction must return —
     the original text — so any parser defect hash-mismatches."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 200).alias("t")
     )
 
@@ -3150,7 +3178,7 @@ def q_pdf_cid_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits via bfrange, the rest via bfchar), extract through the cmap
     walker, emit the text. parser/pdf.go reaches this via pdfcpu; this
     is the stdlib equivalent."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 120).alias("t")
     )
 
@@ -3236,7 +3264,7 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: REAL DOCX extraction (parser/docx.go:11-31) round trip: build
     a .docx (two runs per paragraph) from each document's text, extract
     paragraphs via the stdlib zip+XML walk, emit the joined text."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 150).alias("t")
     )
 
@@ -3258,7 +3286,7 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_go_spark.operators.textanalysis import doc_fingerprint
 
-    return doc_fingerprint(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return doc_fingerprint(_spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"))
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3318,7 +3346,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_blobs_from_documents,
     )
 
-    blobs = media_blobs_from_documents(_t(spark, sf_dir, "documents"))
+    blobs = media_blobs_from_documents(_spread(_t(spark, sf_dir, "documents")))
     return decode_media(blobs, use_fake_decoder=True)
 
 
@@ -4324,7 +4352,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     program in SQL (same double-op grouping in the log-ratio)."""
     from webcrawler_go_spark.operators.quality_clf import nb_quality_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text", "lang")
     return nb_quality_scores(
         docs,
         label_pred=(F.col("lang") == "en"),
