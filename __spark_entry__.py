@@ -240,12 +240,16 @@ def q_visited_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frontier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: union of two discovery sources + dedup, counted per host."""
-    a = canon_corpus(spark, sf_dir).filter(F.col("k") % 2 == 0)
-    b = canon_corpus(spark, sf_dir).filter(F.col("k") % 3 == 0)
+    """J2: union of two discovery sources + dedup, counted per host.
+
+    r8: the two source branches are row-disjoint filters of ONE canon
+    pass and the union feeds a distinct, so UNION-then-distinct equals
+    a single disjunctive filter — one canonicalization pass instead of
+    two and one fewer union leg (result-identical; oracle unchanged)."""
     return (
-        a.select("url_norm", "host")
-        .unionByName(b.select("url_norm", "host"))
+        canon_corpus(spark, sf_dir)
+        .filter((F.col("k") % 2 == 0) | (F.col("k") % 3 == 0))
+        .select("url_norm", "host")
         .distinct()
         .groupBy("host")
         .agg(F.count("*").alias("n_urls"))
@@ -4429,7 +4433,10 @@ def q_urlseen_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     1×1 est×exact combine is a sanctioned BNLJ (BNLJ_OK)."""
     from webcrawler_go_spark.operators.sketches import hll_distinct
 
-    c = canon_corpus(spark, sf_dir).select("url_norm")
+    # both the sketch and the exact-count audit branch aggregate the
+    # canonical corpus — materialize it once (no exchange reuse for
+    # repeated subtrees; lazy, so queries() stays side-effect-free)
+    c = canon_corpus(spark, sf_dir).select("url_norm").localCheckpoint(eager=False)
     est = hll_distinct(c, "url_norm", p=10)
     exact = c.agg(F.countDistinct("url_norm").alias("n_exact"))
     return est.crossJoin(exact).select(
@@ -4475,7 +4482,10 @@ def q_adaptive_fetch_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a sanctioned BNLJ (BNLJ_OK)."""
     from webcrawler_go_spark.operators.sketches import cms_build, hll_distinct
 
-    c = canon_corpus(spark, sf_dir).select("host", "url_norm")
+    # HLL and CMS branches share the canon pass — materialize it once
+    c = canon_corpus(spark, sf_dir).select("host", "url_norm").localCheckpoint(
+        eager=False
+    )
     est = hll_distinct(c.select("url_norm"), "url_norm", p=10).select(
         "n_registers", "est_distinct"
     )

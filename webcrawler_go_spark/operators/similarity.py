@@ -246,22 +246,31 @@ def cosine_pairs_tiled(
                         np.array([r["q"] for r in rows_a], dtype=np.int64)
                         @ np.array([r["q"] for r in rows_b], dtype=np.int64).T
                     ).astype(np.float64)
-                cos = dots / (na[:, None] * nb[None, :])
-                mask = cos >= pre
-                # strict upper triangle by id — diagonal tiles compare
-                # within one block, off-diagonal pairs get (min, max)
-                mask &= ids_a[:, None] < ids_b[None, :]
-                if not diag:
-                    lo = ids_a[:, None] > ids_b[None, :]
-                    swapped = (cos >= pre) & lo
-                    ii, jj = np.nonzero(swapped)
+                # threshold in DOTS space: dots ≥ pre·(na·nb) avoids
+                # dividing the full n² matrix — the division (whose IEEE
+                # result is what gets emitted and re-filtered JVM-side)
+                # runs only on survivors. The prefilter's own rounding
+                # differences sit far inside the 1e-6 margin.
+                nanb = na[:, None] * nb[None, :]
+                mask = dots >= pre * nanb
+                if diag:
+                    # strict upper triangle by id within one block
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                    ii, jj = np.nonzero(mask)
                     if len(ii):
-                        out_a.append(ids_b[jj]); out_b.append(ids_a[ii])
-                        out_c.append(cos[ii, jj])
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    out_a.append(ids_a[ii]); out_b.append(ids_b[jj])
-                    out_c.append(cos[ii, jj])
+                        out_a.append(ids_a[ii]); out_b.append(ids_b[jj])
+                        out_c.append(dots[ii, jj] / nanb[ii, jj])
+                else:
+                    # off-diagonal tiles hold each unordered pair once;
+                    # orient (min, max) at emission instead of scanning
+                    # the matrix twice
+                    mask &= ids_a[:, None] != ids_b[None, :]
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        ia, jb = ids_a[ii], ids_b[jj]
+                        out_a.append(np.minimum(ia, jb))
+                        out_b.append(np.maximum(ia, jb))
+                        out_c.append(dots[ii, jj] / nanb[ii, jj])
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -789,8 +798,13 @@ def lsh_candidate_pairs_banded(
                             G = Q[i0:i1] @ Q.T  # float64 BLAS, exact in range
                         else:
                             G = (Qi[i0:i1] @ Qi.T).astype(np.float64)
-                        cos = G / (nn[i0:i1, None] * nn[None, :])
-                        mask = (cos >= pre) & (gi[i0:i1, None] < gi[None, :])
+                        # threshold in dots space; divide survivors only
+                        # (the emitted value uses the same IEEE product,
+                        # so it is identical to full-matrix division)
+                        nanb = nn[i0:i1, None] * nn[None, :]
+                        mask = (G >= pre * nanb) & (
+                            gi[i0:i1, None] < gi[None, :]
+                        )
                         # first-agreeing-table dedup: emit here only if no
                         # earlier table already bucketed this pair together
                         for t in range(tbl):
@@ -799,7 +813,7 @@ def lsh_candidate_pairs_banded(
                         if len(ii):
                             out_a.append(gi[i0:i1][ii])
                             out_b.append(gi[jj])
-                            out_c.append(cos[ii, jj])
+                            out_c.append(G[ii, jj] / nanb[ii, jj])
             if out_a:
                 yield pd.DataFrame(
                     {

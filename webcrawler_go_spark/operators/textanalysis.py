@@ -386,6 +386,9 @@ def tfidf_top_terms(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
     tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf feeds both the df census and the scoring join — materialize it
+    # once (repeated subtrees are not exchange-reused; lazy checkpoint)
+    tf = tf.localCheckpoint(eager=False)
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf_milli = F.floor(
         F.lit(1000.0) * F.log(F.lit(float(n_docs)) / F.col("df"))

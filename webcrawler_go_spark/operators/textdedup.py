@@ -132,6 +132,8 @@ def jaccard_pairs(
     threshold. Shuffles on shingle (candidate generation) then on the
     pair — never all-pairs."""
     sh = shingles(docs, n, text_col)
+    # referenced three times (sizes + both join sides) — materialize once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -188,6 +190,15 @@ def minhash_lsh_pairs(
     band. Shuffle key = (band, band signature) — hot buckets are real
     near-dup clusters, exactly the pairs we want."""
     sig = minhash_signatures(docs, n, text_col)
+    # MATERIALIZE the signature table before fanning out into B band
+    # projections × 2 self-join sides: the plan references the shingle →
+    # vocab → min-hash pipeline 8 times and exchange reuse does NOT
+    # deduplicate them (measured: 8 posexplodes / 16 scans in the
+    # executed plan, 0 ReusedExchange). One lazy checkpoint = one
+    # compute; the table is (doc_id, 8 longs) — the minhash index a
+    # production dedup would persist anyway. Lazy, so queries() stays
+    # side-effect-free at build time.
+    sig = sig.localCheckpoint(eager=False)
     n_hashes = len(MINHASH_COEFFS)
     bands = []
     for band_i in range(n_hashes // rows_per_band):
@@ -256,6 +267,11 @@ def simhash_near_pairs(
     pigeonhole block join (d+1 blocks; a pair within distance d agrees on
     ≥1 whole block)."""
     fp = simhash(docs, text_col, bits, ngram)
+    # one compute for the (d+1) block projections × 2 join sides — the
+    # plan otherwise repeats the shingle→vocab→bit-sum pipeline 2(d+1)
+    # times (exchange reuse does not deduplicate it; see
+    # minhash_lsh_pairs). (doc_id, simhash) is index-sized.
+    fp = fp.localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     blocks = []
@@ -345,6 +361,9 @@ def duplicate_passages(
     on (doc_a, doc_b, diag) — bounded by matched-pair output, not
     corpus size."""
     grams = positional_shingles(docs, n, text_col)
+    # both self-join sides (and the optional hot-gram census) read the
+    # gram stream — materialize it once (no exchange reuse otherwise)
+    grams = grams.localCheckpoint(eager=False)
     if max_gram_occurrences is not None:
         ok = (
             grams.groupBy("gram")
