@@ -138,6 +138,14 @@ canon AS (
 """
 
 
+def _k_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Just the corpus keys (k = o_orderkey), for aggregate queries whose
+    every column derives from k: skips url_corpus's spread exchange AND
+    the (already column-pruned) URL synthesis. Row-identical to
+    canon_corpus' k column — canon_corpus maps orders 1:1."""
+    return _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+
+
 def canon_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = url_corpus(spark, sf_dir)
     parts = canonicalize_cols(F.col("url"))
@@ -400,7 +408,7 @@ def q_retry_backoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: counts by status class 2xx/3xx/4xx/5xx (crawler.go:654-663)."""
-    log = canon_corpus(spark, sf_dir).select(
+    log = _k_corpus(spark, sf_dir).select(
         "k", _status_col(F.col("k")).alias("status")
     )
     return (
@@ -424,7 +432,7 @@ def q_status_class_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: network-error taxonomy by substring (crawler.go:1030-1042)."""
-    errs = canon_corpus(spark, sf_dir).select(
+    errs = _k_corpus(spark, sf_dir).select(
         "k",
         F.when(F.col("k") % 5 == 0, "dial tcp: i/o timeout")
         .when(F.col("k") % 5 == 1, "connect: connection refused")
@@ -441,7 +449,7 @@ def q_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the reference's stats panel as ONE global aggregate: pages,
     bytes, per-class counts, blocked count."""
-    log = canon_corpus(spark, sf_dir).select(
+    log = _k_corpus(spark, sf_dir).select(
         "k",
         _status_col(F.col("k")).alias("status"),
         _bytes_col(F.col("k")).alias("bytes"),
@@ -460,7 +468,7 @@ def q_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_derived_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: avg page size (bytes/page) over OK pages — integer math then a
     single final division."""
-    log = canon_corpus(spark, sf_dir).select(
+    log = _k_corpus(spark, sf_dir).select(
         "k",
         _status_col(F.col("k")).alias("status"),
         _bytes_col(F.col("k")).alias("bytes"),

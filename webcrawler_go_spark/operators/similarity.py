@@ -434,6 +434,12 @@ def ivf_assign(
                 F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"),
             )
         )
+        # n_cells rows: pin each Lloyd step so (a) the iteration's plan
+        # does not deepen multiplicatively and (b) the final corpus
+        # assign and the query-side assign share ONE training compute
+        # instead of re-running k-means per reference (no exchange reuse
+        # across repeated subtrees)
+        cents = cents.localCheckpoint(eager=False)
     return assign(cents), cents
 
 
