@@ -1349,8 +1349,13 @@ def _adaptive_crawl_oracle_sql() -> str:
     per_host: dict[str, int] = {}
     for e in res.fetch_log:
         per_host[e["host"]] = per_host.get(e["host"], 0) + 1
+    # a host whose activity fell entirely outside the AIMD window holds
+    # the default budget (ADVICE r7: indexing res.budgets[h] raised
+    # KeyError if max_rounds ever exceeded aimd_window; identical SQL
+    # text at the current 4-round/window-8 config)
     rows = ",\n              ".join(
-        f"('{h}', {c}, {res.budgets[h]})" for h, c in sorted(per_host.items())
+        f"('{h}', {c}, {res.budgets.get(h, cfg.default_host_budget)})"
+        for h, c in sorted(per_host.items())
     )
     return (
         "SELECT host, CAST(fetched AS BIGINT) AS fetched,\n"

@@ -222,18 +222,21 @@ def fetch_frontier(
             # per-task-local there, and a politely-crawled host never
             # legitimately schedules >chunk URLs in one round anyway.
             env_chunk = _os.environ.get("SPARK_GRAFT_FETCH_HOST_CHUNK")
-            if env_chunk is not None:
+            if backend == "http":
+                # HTTP keeps strict host co-location (connection reuse,
+                # crawl-delay are per-task-local) — NEVER salt it, even
+                # when the env knob is set (ADVICE r7: an env var tuned
+                # for the synthetic backend must not silently break the
+                # per-task politeness co-location contract)
+                chunk = 0
+            elif env_chunk is not None:
                 # An EXPLICITLY-set env var beats the engine's sketch-
                 # derived chunk (ADVICE r6): the documented tuning knob —
                 # including '0' to disable hot-host salting — must keep
                 # working when adaptive width is on.
                 chunk = int(env_chunk)
             elif chunk is None:
-                chunk = 0 if backend == "http" else 25000
-            elif backend == "http":
-                # HTTP keeps strict host co-location (connection reuse,
-                # crawl-delay are per-task-local) — never salt it
-                chunk = 0
+                chunk = 25000
             if chunk > 0 and "seq" in scheduled.columns:
                 salt = (
                     F.col("seq").bitwiseAND(F.lit((1 << 32) - 1)) / F.lit(chunk)

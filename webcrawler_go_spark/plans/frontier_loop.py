@@ -557,7 +557,15 @@ class CrawlEngine:
             F.sum(
                 F.when(F.col("error_class").isNotNull(), 1).otherwise(0)
             ).alias("errors"),
-            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("blocked"),
+            # err-ELIF-blocked, structurally (ADVICE r7): a row with both
+            # error_class set AND blocked=true must not count twice —
+            # previously guaranteed only by the kernel's disjointness
+            # contract, now mirrored in the aggregate like the oracle
+            F.sum(
+                F.when(
+                    F.col("blocked") & F.col("error_class").isNull(), 1
+                ).otherwise(0)
+            ).alias("blocked"),
         ).withColumn("round", F.lit(r))
         hc = hc.select(*[f.name for f in HOST_HEALTH.fields])
         lo = max(0, r + 1 - self.aimd_window)
@@ -600,17 +608,26 @@ class CrawlEngine:
         """Rebuild the AIMD ledger + budget dim from the persisted
         health table before resuming at ``next_round`` — so an
         interrupted adaptive crawl holds the SAME budgets an
-        uninterrupted one would (parity-tested). `.distinct()` absorbs
-        the one duplicate round a crash between the health commit and
-        the frontier commit can leave (counters are deterministic, so
-        re-run rows are byte-identical)."""
+        uninterrupted one would (parity-tested). A crash between the
+        health commit and the frontier commit can leave a duplicate
+        (host, round) row; dedupe EXPLICITLY BY KEY (max of each
+        counter) rather than `.distinct()` — with a nondeterministic
+        backend the re-run counters need not be byte-identical, and a
+        leftover duplicate key would make aimd_budgets'
+        map_from_entries raise at resume (ADVICE r7)."""
         from webcrawler_go_spark.operators.scheduling import aimd_budgets
 
         lo = max(0, next_round - self.aimd_window)
         health = (
             self.health_t.read()
             .filter((F.col("round") >= lo) & (F.col("round") < next_round))
-            .distinct()
+            .groupBy("host", "round")
+            .agg(
+                F.max("fetched").alias("fetched"),
+                F.max("errors").alias("errors"),
+                F.max("blocked").alias("blocked"),
+            )
+            .select(*[f.name for f in HOST_HEALTH.fields])
         )
         if not health.limit(1).count():
             return
